@@ -1,0 +1,174 @@
+"""Branchless decision tables for 4-D simplex (tetrahedral) interpolation.
+
+The reference implementation (ref: sr/4_test_lut.py:140-231, sr/model.py:191-282)
+selects one of 24 weight/corner assignments per pixel via a sequential chain of
+boolean-mask branches over the six strict pairwise comparisons of the four LSB
+fractions (fa, fb, fc, fd).  Each branch corresponds to a permutation sigma of
+(a, b, c, d): the five simplex corners are the cumulative bit-masks
+
+    0000, bit(s1), bit(s1)|bit(s2), bit(s1)|bit(s2)|bit(s3), 1111
+
+and the five weights are
+
+    q - f_{s1},  f_{s1} - f_{s2},  f_{s2} - f_{s3},  f_{s3} - f_{s4},  f_{s4}.
+
+Boolean scatter branches are hostile to TPUs.  Instead, we evaluate the exact
+same decision chain *once on the host* for all 2**6 = 64 combinations of the
+pairwise comparison bits, producing:
+
+  * CORNER_OFFSETS : (64, 5) int32 — flat LUT-index offset of each corner in
+    units of the (L, L, L, L) table strides (L**3, L**2, L, 1);
+  * WEIGHT_COEFFS  : (64, 5, 5) int32 — matrix M such that the weight vector
+    is  M @ [q, fa, fb, fc, fd].
+
+On device, a pixel's 6-bit comparison code indexes these tiny tables: five
+gathers plus one 5x5 mat-vec replace the reference's 24 masked scatters while
+remaining bit-identical (the chain is replayed with the reference's exact
+branch order and strict `>` comparisons, including the re-ordered i10/i11
+"overflow fix" branches, ref: sr/4_test_lut.py:178-191).
+
+The decision chain below is data (condition tuples + permutation labels), not
+translated code: each entry lists which comparison bits must be True/False and
+which earlier branches must have failed, mirroring the sequential-overwrite
+semantics of the reference's masked assignments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Comparison bit layout within the 6-bit code: code = sum(bit_i << i) with
+#   bit 5: fa > fb   (ab)
+#   bit 4: fa > fc   (ac)
+#   bit 3: fa > fd   (ad)
+#   bit 2: fb > fc   (bc)
+#   bit 1: fb > fd   (bd)
+#   bit 0: fc > fd   (cd)
+_BITS = {"ab": 5, "ac": 4, "ad": 3, "bc": 2, "bd": 1, "cd": 0}
+
+# The 24 branches, in the reference's evaluation order.  Each branch is
+#   (requires_true, requires_false, requires_failed_branches, permutation)
+# where permutation is a string over 'abcd' giving descending fraction order.
+# `requires_failed_branches` are indices (into this list) of earlier branches
+# whose condition must NOT have held (the reference's ~iK masks).
+_BRANCHES = [
+    # group 1: fab & fbc (ref i1..i4)
+    (("ab", "bc", "cd"), (), (), "abcd"),              # i1
+    (("ab", "bc", "bd"), (), (0,), "abdc"),            # i2
+    (("ab", "bc", "ad"), (), (0, 1), "adbc"),          # i3
+    (("ab", "bc"), (), (0, 1, 2), "dabc"),             # i4
+    # group 2: ~fbc & fab & fac (ref i5..i8)
+    (("ab", "ac", "bd"), ("bc",), (), "acbd"),         # i5
+    (("ab", "ac", "cd"), ("bc",), (4,), "acdb"),       # i6
+    (("ab", "ac", "ad"), ("bc",), (4, 5), "adcb"),     # i7
+    (("ab", "ac"), ("bc",), (4, 5, 6), "dacb"),        # i8
+    # group 3: ~fbc & ~fac & fab (ref i9..i12, with the SR-LUT overflow fix:
+    # i10 tests fad before i11 tests fcd, ref sr/4_test_lut.py:178-191)
+    (("ab", "bd"), ("bc", "ac"), (), "cabd"),          # i9
+    (("ab", "ad"), ("bc", "ac"), (8,), "cadb"),        # i10  (c > a > d > b)
+    (("ab", "cd"), ("bc", "ac"), (8, 9), "cdab"),      # i11  (c > d > a > b)
+    (("ab",), ("bc", "ac"), (8, 9, 10), "dcab"),       # i12
+    # group 4: ~fab & fac (ref i13..i16)
+    (("ac", "cd"), ("ab",), (), "bacd"),               # i13
+    (("ac", "ad"), ("ab",), (12,), "badc"),            # i14
+    (("ac", "bd"), ("ab",), (12, 13), "bdac"),         # i15
+    (("ac",), ("ab",), (12, 13, 14), "dbac"),          # i16
+    # group 5: ~fab & ~fac & fbc (ref i17..i20)
+    (("bc", "ad"), ("ab", "ac"), (), "bcad"),          # i17
+    (("bc", "cd"), ("ab", "ac"), (16,), "bcda"),       # i18
+    (("bc", "bd"), ("ab", "ac"), (16, 17), "bdca"),    # i19
+    (("bc",), ("ab", "ac"), (16, 17, 18), "dbca"),     # i20
+    # group 6: ~fab & ~fac & ~fbc (ref i21..i24)
+    (("ad",), ("ab", "ac", "bc"), (), "cbad"),         # i21
+    (("bd",), ("ab", "ac", "bc"), (20,), "cbda"),      # i22
+    (("cd",), ("ab", "ac", "bc"), (20, 21), "cdba"),   # i23
+    ((), ("ab", "ac", "bc"), (20, 21, 22), "dcba"),    # i24
+]
+
+_DIM = {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def _branch_condition(code: int, branch_idx: int) -> bool:
+    """Whether `branch_idx`'s full condition (incl. ~earlier masks) holds."""
+    req_true, req_false, req_failed, _ = _BRANCHES[branch_idx]
+    for name in req_true:
+        if not (code >> _BITS[name]) & 1:
+            return False
+    for name in req_false:
+        if (code >> _BITS[name]) & 1:
+            return False
+    for earlier in req_failed:
+        if _branch_condition(code, earlier):
+            return False
+    return True
+
+
+def _perm_tables(perm: str):
+    """Corner offsets (5,) and weight coefficient matrix (5,5) for sigma."""
+    corners = np.zeros(5, dtype=np.int64)
+    mask = [0, 0, 0, 0]
+    for k, ch in enumerate(perm):
+        mask[_DIM[ch]] = 1
+        corners[k + 1] = mask[0] * 8 + mask[1] * 4 + mask[2] * 2 + mask[3]
+    # weights = M @ [q, fa, fb, fc, fd]
+    M = np.zeros((5, 5), dtype=np.int64)
+    cols = [1 + _DIM[ch] for ch in perm]  # column of f_{sigma_k}
+    M[0, 0] = 1
+    M[0, cols[0]] = -1
+    for k in range(3):
+        M[k + 1, cols[k]] = 1
+        M[k + 1, cols[k + 1]] = -1
+    M[4, cols[3]] = 1
+    return corners, M
+
+
+def _build_tables():
+    corner_bits = np.zeros((64, 5), dtype=np.int64)
+    coeffs = np.zeros((64, 5, 5), dtype=np.int64)
+    for code in range(64):
+        chosen = None
+        # Replay the reference's sequential masked assignments: masks are
+        # disjoint in practice, but the last matching write wins, so scan all.
+        for b in range(len(_BRANCHES)):
+            if _branch_condition(code, b):
+                chosen = b
+        if chosen is None:
+            # Logically-inconsistent codes (cannot arise from a real total
+            # preorder) keep the reference's implicit out == 0.
+            continue
+        corners, M = _perm_tables(_BRANCHES[chosen][3])
+        corner_bits[code] = corners
+        coeffs[code] = M
+    return corner_bits, coeffs
+
+
+_CORNER_BITS, _COEFFS = _build_tables()
+
+
+def corner_offsets(L: int) -> np.ndarray:
+    """(64, 5) int32 flat LUT-index offsets for bin-size L per dimension."""
+    bits = _CORNER_BITS
+    strides = np.array([L ** 3, L ** 2, L, 1], dtype=np.int64)
+    a = (bits >> 3) & 1
+    b = (bits >> 2) & 1
+    c = (bits >> 1) & 1
+    d = bits & 1
+    off = a * strides[0] + b * strides[1] + c * strides[2] + d * strides[3]
+    return off.astype(np.int32)
+
+
+def weight_coeffs() -> np.ndarray:
+    """(64, 5, 5) int32: weights = coeffs[code] @ [q, fa, fb, fc, fd]."""
+    return _COEFFS.astype(np.int32)
+
+
+def comparison_code(fa, fb, fc, fd, xp=np):
+    """6-bit code from the strict pairwise comparisons (host/NumPy helper)."""
+    return (
+        (fa > fb).astype(np.int32) * 32
+        + (fa > fc).astype(np.int32) * 16
+        + (fa > fd).astype(np.int32) * 8
+        + (fb > fc).astype(np.int32) * 4
+        + (fb > fd).astype(np.int32) * 2
+        + (fc > fd).astype(np.int32) * 1
+    )

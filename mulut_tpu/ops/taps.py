@@ -1,0 +1,31 @@
+"""Sampling-pattern geometry for MuLUT modes.
+
+Each mode samples exactly four pixels (a, b, c, d) out of a small receptive
+field; the pattern is fully described by four (dy, dx) tap offsets plus the
+right/bottom padding needed so every output pixel has all four taps in range
+(ref: common/network.py:137-216 for the train-time patterns, mode_pad_dict at
+sr/model.py:12, and the eval-time neighbor offsets at sr/4_test_lut.py:18-52).
+"""
+
+from __future__ import annotations
+
+# mode -> ((dy, dx) for a, b, c, d)
+TAPS = {
+    "s": ((0, 0), (0, 1), (1, 0), (1, 1)),   # 2x2 square
+    "d": ((0, 0), (0, 2), (2, 0), (2, 2)),   # dilated 2x2
+    "y": ((0, 0), (1, 1), (1, 2), (2, 1)),   # diagonal "Y"
+    "e": ((0, 0), (0, 3), (3, 0), (3, 3)),   # dilation-3 2x2 (Ex1/ExN)
+    "h": ((0, 0), (2, 2), (2, 3), (3, 2)),   # Hx1 picks (common/network.py:207-211)
+    "o": ((0, 0), (2, 2), (1, 3), (3, 1)),   # Ox1 picks (common/network.py:212-216)
+}
+
+# Right/bottom replicate padding per mode (ref: sr/model.py:12).
+PAD = {"s": 1, "d": 2, "y": 2, "e": 3, "h": 3, "o": 3}
+
+
+def mode_taps(mode: str):
+    return TAPS[mode]
+
+
+def mode_pad(mode: str) -> int:
+    return PAD[mode]

@@ -1,0 +1,49 @@
+"""Bit-exact parity vs the reference's golden Set5 x4 output images.
+
+The strongest oracle available: rerunning the reference's step 4 over
+models/sr_x2sdy must reproduce results/sr_x2sdy/Set5/X4 byte-for-byte
+(ref: sr/4_test_lut.py:310-316, golden numbers :342-347).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import REF_GOLDEN, REF_SET5, require_reference
+
+from mulut_tpu.ops import lut_cascade_int
+from mulut_tpu.utils import load_image, modcrop, psnr_ssim_y
+
+
+@pytest.fixture(scope="module")
+def set5_files():
+    require_reference()
+    return sorted(os.listdir(os.path.join(REF_SET5, "HR")))
+
+
+def test_set5_bit_exact_and_psnr(reference_luts, set5_files):
+    luts = {k: jnp.asarray(v) for k, v in reference_luts.items()}
+
+    @jax.jit
+    def run(img):
+        return lut_cascade_int(luts, img, stages=2, modes="sdy", scale=4)
+
+    psnrs, ssims = [], []
+    for f in set5_files:
+        lr = load_image(os.path.join(REF_SET5, "LR_bicubic", "X4", f)).astype(np.int32)
+        gt = modcrop(load_image(os.path.join(REF_SET5, "HR", f)), 4)
+        out = np.asarray(run(jnp.asarray(lr.transpose(2, 0, 1))))
+        out = out.transpose(1, 2, 0).astype(np.uint8)
+
+        golden = load_image(os.path.join(REF_GOLDEN, f"{f[:-4]}_LUT_ft_4bit.png"))
+        np.testing.assert_array_equal(out, golden, err_msg=f"mismatch on {f}")
+
+        p, s = psnr_ssim_y(gt, out, 4)
+        psnrs.append(p)
+        ssims.append(s)
+
+    assert abs(float(np.mean(psnrs)) - 30.61) < 0.01  # ref: sr/4_test_lut.py:343
+    assert abs(float(np.mean(ssims)) - 0.8655) < 0.001
