@@ -1,0 +1,35 @@
+from .blocks import (
+    apply_mulut_c_unit,
+    apply_mulut_unit,
+    init_mulut_c_unit,
+    init_mulut_unit,
+)
+from .srnet import (
+    dnnet_apply,
+    init_srnets,
+    srnet_apply,
+    srnets_predict,
+    unit_upscale,
+)
+from .torch_import import (
+    load_params_npz,
+    load_torch_state_dict,
+    save_params_npz,
+    srnets_params_from_torch,
+)
+
+__all__ = [
+    "apply_mulut_c_unit",
+    "apply_mulut_unit",
+    "init_mulut_c_unit",
+    "init_mulut_unit",
+    "dnnet_apply",
+    "init_srnets",
+    "srnet_apply",
+    "srnets_predict",
+    "unit_upscale",
+    "load_params_npz",
+    "load_torch_state_dict",
+    "save_params_npz",
+    "srnets_params_from_torch",
+]
