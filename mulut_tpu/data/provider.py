@@ -1,0 +1,49 @@
+"""Host-side prefetching batch provider.
+
+Replaces the reference's multi-process torch DataLoader + `.cuda()` transfer
+(ref: sr/data.py:13-49) with a thread pool that assembles NumPy batches ahead
+of the training loop; the training step itself owns the host->device transfer
+(optionally sharded over a mesh via `parallel.shard_batch`).  Threads, not
+processes: batch assembly is NumPy slicing, which releases the GIL enough,
+and the arrays go straight into jax.device_put without pickling.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+from .div2k import DIV2K
+
+
+class Provider:
+    """Infinite prefetching iterator of (im, lb) NumPy batch pairs."""
+
+    def __init__(self, batch_size: int, num_workers: int, scale: int,
+                 path: str, patch_size: int, prefetch: int = 8, seed: int = 0):
+        self.batch_size = batch_size
+        self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self.iteration = 0
+        self._workers = []
+        num_workers = max(1, num_workers)
+        for w in range(num_workers):
+            ds = DIV2K(scale, path, patch_size, seed=seed * 1000 + w)
+            t = threading.Thread(target=self._worker, args=(ds,), daemon=True)
+            t.start()
+            self._workers.append(t)
+
+    def _worker(self, ds: DIV2K) -> None:
+        while not self._stop.is_set():
+            batch = ds.sample_batch(self.batch_size)
+            try:
+                self.queue.put(batch, timeout=1.0)
+            except queue.Full:
+                continue
+
+    def next(self):
+        self.iteration += 1
+        return self.queue.get()
+
+    def close(self) -> None:
+        self._stop.set()

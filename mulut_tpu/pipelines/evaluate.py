@@ -1,0 +1,132 @@
+"""Step 4/5: deployment-grade LUT-retrieval evaluation.
+
+Replaces the reference's 24-process NumPy fan-out (ref: sr/4_test_lut.py:257-259)
+with the jitted integer cascade on the accelerator — per-image processes are
+pointless when one chip runs the whole ensemble in a single fused program.
+Also provides the single-image API surface of the fork's 5_test_lut.py
+(ref: sr/5_test_lut.py:241-414) with its path bugs fixed.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ensemble import lut_cascade_int
+from ..utils.imgio import load_image, save_image
+from ..utils.lut_io import load_luts
+from ..utils.metrics import modcrop, psnr_ssim_y
+
+
+class LutEvaluator:
+    """Holds device LUTs + a shape-cached jitted cascade."""
+
+    def __init__(self, luts: dict, *, stages: int, modes: str, scale: int,
+                 interval: int = 4):
+        self.stages = stages
+        self.modes = modes
+        self.scale = scale
+        self.interval = interval
+        self.luts = {k: jnp.asarray(np.asarray(v).astype(np.int32))
+                     for k, v in luts.items()}
+
+        @jax.jit
+        def _run(img):
+            return lut_cascade_int(self.luts, img, stages=stages, modes=modes,
+                                   scale=scale, interval=interval)
+
+        self._run = _run
+
+    @classmethod
+    def from_folder(cls, lut_folder: str, *, stages: int = 2, modes: str = "sdy",
+                    scale: int = 4, interval: int = 4, lut_name: str = "LUT_ft"):
+        luts = load_luts(lut_folder, stages=stages, modes=modes, scale=scale,
+                         interval=interval, name=lut_name)
+        return cls(luts, stages=stages, modes=modes, scale=scale, interval=interval)
+
+    def upscale(self, img_lr: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 LR -> (H*scale, W*scale, 3) uint8 SR."""
+        chw = jnp.asarray(img_lr.astype(np.int32).transpose(2, 0, 1))
+        out = np.asarray(self._run(chw))
+        return out.transpose(1, 2, 0).astype(np.uint8)
+
+
+def eval_dataset(evaluator: LutEvaluator, test_dir: str, dataset: str,
+                 result_path: str | None = None, *, lut_name: str = "LUT_ft",
+                 interval: int = 4):
+    """Evaluate one benchmark dataset; save result PNGs; return per-image
+    (psnr, ssim) (ref: sr/4_test_lut.py:240-316, fixed LR path per
+    sr/5_test_lut.py:527)."""
+    scale = evaluator.scale
+    hr_dir = os.path.join(test_dir, dataset, "HR")
+    lr_dir = os.path.join(test_dir, dataset, f"LR_bicubic/X{scale}")
+    files = sorted(os.listdir(hr_dir))
+
+    results = []
+    for f in files:
+        img_lr = load_image(os.path.join(lr_dir, f))
+        img_gt = modcrop(load_image(os.path.join(hr_dir, f)), scale)
+        img_out = evaluator.upscale(img_lr)
+        if result_path is not None:
+            save_image(
+                os.path.join(
+                    result_path, f"{f[:-4]}_{lut_name}_{8 - interval}bit.png"
+                ),
+                img_out,
+            )
+        results.append(psnr_ssim_y(img_gt, img_out, scale))
+    return results
+
+
+def run_test(opt, datasets=("Set5",)) -> dict:
+    """Step-4 CLI behavior: load LUTs, evaluate datasets, print summary."""
+    evaluator = LutEvaluator.from_folder(
+        opt.expDir, stages=opt.stages, modes=opt.modes, scale=opt.scale,
+        interval=opt.interval, lut_name=opt.lutName
+    )
+    exp_name = opt.expDir.rstrip("/").split("/")[-1]
+    summary = {}
+    for dataset in datasets:
+        result_path = os.path.join(
+            opt.resultRoot, exp_name, dataset, f"X{opt.scale}"
+        )
+        os.makedirs(result_path, exist_ok=True)
+        results = eval_dataset(
+            evaluator, opt.testDir, dataset, result_path,
+            lut_name=opt.lutName, interval=opt.interval
+        )
+        arr = np.asarray(results)
+        print(
+            "Dataset {} | AVG LUT PSNR: {:.2f} SSIM: {:.4f}".format(
+                dataset, arr[:, 0].mean(), arr[:, 1].mean()
+            )
+        )
+        summary[dataset] = (float(arr[:, 0].mean()), float(arr[:, 1].mean()))
+    return summary
+
+
+def process_single_image(image_path: str, lut_folder: str, output_path: str | None
+                         = None, *, stages: int = 2, modes: str = "sdy",
+                         scale: int = 4, interval: int = 4,
+                         lut_name: str = "LUT_ft", gt_path: str | None = None):
+    """Single-image API (ref: sr/5_test_lut.py:241-414).
+
+    Returns (sr_image, metrics_or_None); metrics = (psnr, ssim) when gt given.
+    """
+    evaluator = LutEvaluator.from_folder(
+        lut_folder, stages=stages, modes=modes, scale=scale,
+        interval=interval, lut_name=lut_name
+    )
+    img_lr = load_image(image_path)
+    img_out = evaluator.upscale(img_lr)
+    if output_path:
+        save_image(output_path, img_out)
+    metrics = None
+    if gt_path:
+        img_gt = modcrop(load_image(gt_path), scale)
+        metrics = psnr_ssim_y(img_gt, img_out, scale)
+    return img_out, metrics

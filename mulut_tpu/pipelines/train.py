@@ -1,0 +1,177 @@
+"""Step 1: train the MuLUT network (ref: sr/1_train_model.py).
+
+TPU-native training loop: one jitted train step (forward cascade + MSE +
+Adam), data parallelism via a 1-D device mesh with the batch axis sharded
+(replacing torch DataParallel, ref: sr/1_train_model.py:141-142) — jit
+inserts the gradient all-reduce over ICI.  The cosine LR schedule, STE
+rounding, loss and log formats match the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import Provider, SRBenchmark
+from ..models.srnet import init_srnets, srnets_predict
+from ..models.torch_import import load_params_npz, save_params_npz
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..utils.imgio import save_image
+from ..utils.logging_utils import logger_info
+from ..utils.metrics import psnr, rgb2ycbcr
+
+
+def cosine_lr(lr0: float, lr1: float, total_iter: int):
+    """The reference's cosine schedule (ref: sr/1_train_model.py:149-155)."""
+    if lr1 < 0:
+        lr_a, lr_b = 0.8, 0.2
+    else:
+        lr_b = lr1 / lr0
+        lr_a = 1 - lr_b
+
+    def schedule(step):
+        cos = (1 + jnp.cos(step * math.pi / total_iter)) / 2
+        return lr0 * (cos * lr_a + lr_b)
+
+    return schedule
+
+
+def make_optimizer(lr0: float, lr1: float, total_iter: int, weight_decay: float = 0.0):
+    """Adam(0.9, 0.999, eps 1e-8) + cosine LR (ref: sr/1_train_model.py:146)."""
+    sched = cosine_lr(lr0, lr1, total_iter)
+    if weight_decay > 0:
+        return optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=weight_decay)
+    return optax.adam(sched, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_train_step(optimizer, *, modes: str, stages: int, scale: int):
+    @jax.jit
+    def step(params, opt_state, im, lb):
+        def loss_fn(p):
+            pred = srnets_predict(p, im, modes=modes, stages=stages,
+                                  scale=scale, phase="train")
+            return jnp.mean((pred - lb) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def valid_steps(params, valid: SRBenchmark, opt, it: int, logger,
+                predict_fn=None):
+    """Benchmark validation with PNG dumps (ref: sr/1_train_model.py:70-119)."""
+    datasets = ["Set5"] if opt.debug else valid.datasets
+
+    @jax.jit
+    def fwd(x):
+        return srnets_predict(params, x, modes=opt.modes, stages=opt.stages,
+                              scale=opt.scale, phase="valid")
+
+    fwd = predict_fn or fwd
+    for dataset in datasets:
+        if dataset not in valid.files:
+            continue
+        psnrs = []
+        result_path = os.path.join(opt.valoutDir, dataset)
+        os.makedirs(result_path, exist_ok=True)
+        for name, lr, hr in valid.pairs(dataset):
+            x = jnp.asarray(
+                lr.astype(np.float32).transpose(2, 0, 1)[None] / 255.0
+            )
+            pred = np.asarray(fwd(x))[0].transpose(1, 2, 0)
+            pred = np.round(np.clip(pred, 0, 255)).astype(np.uint8)
+            left = rgb2ycbcr(pred)[:, :, 0]
+            right = rgb2ycbcr(hr)[:, :, 0]
+            psnrs.append(psnr(left, right, opt.scale))
+            if it < 10000:
+                save_image(os.path.join(result_path, f"{name}_input.png"), lr)
+                save_image(os.path.join(result_path, f"{name}_gt.png"), hr)
+            save_image(os.path.join(result_path, f"{name}_net.png"), pred)
+        logger.info(
+            "Iter {} | Dataset {} | AVG Val PSNR: {:02f}".format(
+                it, dataset, float(np.mean(np.asarray(psnrs)))
+            )
+        )
+
+
+def train(opt) -> dict:
+    """Full step-1 training CLI behavior.  Returns the final params."""
+    logger_name = "train"
+    logger_info(logger_name, os.path.join(opt.expDir, logger_name + ".log"))
+    logger = logging.getLogger(logger_name)
+
+    n_dev = min(opt.gpuNum, jax.device_count()) if opt.gpuNum > 1 else 1
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+
+    params = init_srnets(jax.random.PRNGKey(0), nf=opt.nf, scale=opt.scale,
+                         modes=opt.modes, stages=opt.stages)
+    if opt.startIter > 0:
+        ckpt = os.path.join(opt.expDir, f"Model_{opt.startIter:06d}.npz")
+        params = load_params_npz(ckpt)
+        logger.info(f"Resumed params from {ckpt}")
+
+    optimizer = make_optimizer(opt.lr0, opt.lr1, opt.totalIter, opt.weightDecay)
+    opt_state = optimizer.init(params)
+    if mesh is not None:
+        params = replicate_tree(mesh, params)
+        opt_state = replicate_tree(mesh, opt_state)
+    step = make_train_step(optimizer, modes=opt.modes, stages=opt.stages,
+                           scale=opt.scale)
+
+    provider = Provider(opt.batchSize, opt.workerNum, opt.scale, opt.trainDir,
+                        opt.cropSize)
+    valid = SRBenchmark(opt.valDir, scale=opt.scale)
+
+    l_accum = 0.0
+    dT = rT = 0.0
+    accum_samples = 0
+    loss = None
+    for i in range(opt.startIter + 1, opt.totalIter + 1):
+        st = time.time()
+        im, lb = provider.next()
+        if mesh is not None:
+            im, lb = shard_batch(mesh, im, lb)
+        else:
+            im, lb = jnp.asarray(im), jnp.asarray(lb)
+        dT += time.time() - st
+
+        st = time.time()
+        params, opt_state, loss = step(params, opt_state, im, lb)
+        loss.block_until_ready()
+        rT += time.time() - st
+
+        accum_samples += opt.batchSize
+        l_accum += float(loss)
+
+        if i % opt.displayStep == 0:
+            logger.info(
+                "{} | Iter:{:6d}, Sample:{:6d}, GPixel:{:.2e}, dT:{:.4f}, rT:{:.4f}".format(
+                    opt.expDir, i, accum_samples, l_accum / opt.displayStep,
+                    dT / opt.displayStep, rT / opt.displayStep
+                )
+            )
+            l_accum, dT, rT = 0.0, 0.0, 0.0
+
+        if i % opt.saveStep == 0:
+            path = os.path.join(opt.expDir, f"Model_{i:06d}.npz")
+            save_params_npz(path, jax.device_get(params))
+            logger.info(f"Checkpoint saved {i}")
+
+        if i % opt.valStep == 0:
+            valid_steps(params, valid, opt, i, logger)
+
+    provider.close()
+    logger.info("Complete")
+    return params

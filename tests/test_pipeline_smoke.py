@@ -1,0 +1,109 @@
+"""Hermetic end-to-end pipeline smoke test on synthetic data.
+
+Mirrors the fork orchestrator's quick mode (ref: sr/main.py:95-101, 401-563):
+tiny synthetic DIV2K + benchmark trees, a handful of training iterations,
+then transfer -> finetune -> test, asserting artifacts and sane outputs at
+every step.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mulut_tpu.data import create_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    info = create_synthetic_dataset(str(root), n_train=4, n_val=2, size=64,
+                                    scales=(4,))
+    return {"root": str(root), **info}
+
+
+@pytest.fixture(scope="module")
+def exp_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("exp"))
+
+
+def _train_opt(synth, exp_dir, **overrides):
+    from mulut_tpu.utils.options import TrainOptions
+
+    inst = TrainOptions()
+    opt = inst.parse([
+        "-e", exp_dir,
+        "--trainDir", synth["train_dir"],
+        "--valDir", synth["val_dir"],
+        "--debug",
+        "--batchSize", "4",
+        "--cropSize", "8",
+        "--workerNum", "1",
+    ])
+    for k, v in overrides.items():
+        setattr(opt, k, v)
+    inst.opt = opt
+    return opt
+
+
+def test_full_pipeline(synth, exp_dir):
+    import jax.numpy as jnp
+
+    from mulut_tpu.models.torch_import import load_params_npz, save_params_npz
+    from mulut_tpu.pipelines.finetune import finetune
+    from mulut_tpu.pipelines.train import train
+    from mulut_tpu.pipelines.transfer import transfer_to_luts
+    from mulut_tpu.utils.lut_io import lut_filename, load_luts
+
+    # --- step 1: train (tiny) ---
+    opt = _train_opt(synth, exp_dir, totalIter=20, valStep=20, saveStep=20,
+                     displayStep=10, nf=8)
+    params = train(opt)
+    ckpt = os.path.join(exp_dir, "Model_000020.npz")
+    assert os.path.exists(ckpt)
+    assert os.path.exists(os.path.join(exp_dir, "train.log"))
+    # val PNGs written
+    assert os.path.isdir(os.path.join(exp_dir, "val", "Set5"))
+
+    # --- step 2: transfer ---
+    params = load_params_npz(ckpt)
+    luts = transfer_to_luts(params, modes=opt.modes, stages=opt.stages)
+    for key, arr in luts.items():
+        assert arr.shape == (17 ** 4, 16 if key.startswith("s2") else 1)
+        np.save(
+            os.path.join(exp_dir, lut_filename("LUT", 4, 4, int(key[1]), key[3])),
+            arr,
+        )
+
+    # --- step 3: finetune (few iters) ---
+    ft_opt = _train_opt(synth, exp_dir, totalIter=5, valStep=5, displayStep=5,
+                        saveStep=5)
+    finetune(ft_opt)
+    ft_luts = load_luts(exp_dir, stages=2, modes="sdy", scale=4)
+    assert all(v.shape[0] == 17 ** 4 for v in ft_luts.values())
+    assert os.path.exists(os.path.join(exp_dir, "lutft.log"))
+
+    # --- step 4: test ---
+    from mulut_tpu.pipelines.evaluate import LutEvaluator, eval_dataset
+
+    ev = LutEvaluator(ft_luts, stages=2, modes="sdy", scale=4)
+    results = eval_dataset(ev, synth["val_dir"], "Set5")
+    arr = np.asarray(results)
+    assert arr.shape == (2, 2)
+    assert np.isfinite(arr).all()
+    # even a 20-iter model should beat pure noise on smooth synthetic images
+    assert arr[:, 0].mean() > 10.0
+
+
+def test_single_image_api(synth, exp_dir):
+    from mulut_tpu.pipelines.evaluate import process_single_image
+
+    img = os.path.join(synth["val_dir"], "Set5", "LR_bicubic/X4", "alpha.png")
+    gt = os.path.join(synth["val_dir"], "Set5", "HR", "alpha.png")
+    out_path = os.path.join(exp_dir, "single_out.png")
+    out, metrics = process_single_image(
+        img, exp_dir, out_path, lut_name="LUT_ft", gt_path=gt
+    )
+    assert out.shape == (64, 64, 3)
+    assert os.path.exists(out_path)
+    assert metrics is not None and np.isfinite(metrics[0])
