@@ -1,0 +1,95 @@
+"""Headline benchmark: LUT-retrieval throughput of the full MuLUT cascade.
+
+Measures the deployment path — 2-stage x sdy x 4-rotation integer LUT
+cascade with exact reference rounding (ref: sr/4_test_lut.py:263-306) — on
+the default JAX device, upscaling a 480x270 RGB batch to 1920x1080 (x4).
+
+Prints ONE JSON line:
+  {"metric": "lut_retrieval_throughput", "value": <output MPix/s>,
+   "unit": "MPix/s", "vs_baseline": <ratio vs reference engine>}
+
+Baseline: the reference NumPy engine (FourSimplexInterpFaster, single
+process) measured on this machine at 0.0298 output-MPix/s per process
+(69.7 s per 480x270->1080p image); the reference fans out over a
+Pool of 24 workers (ref: sr/4_test_lut.py:257-259), giving ~0.714 MPix/s
+aggregate — that aggregate is the vs_baseline denominator.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mulut_tpu.ops.ensemble import lut_cascade_int
+
+    scale, stages, modes, interval = 4, 2, "sdy", 4
+    L = 2 ** (8 - interval) + 1
+    H, W, B = 270, 480, 8
+
+    # Use the shipped fine-tuned LUTs when the reference is mounted so the
+    # bench exercises real table contents; fall back to random tables (same
+    # shapes/dtypes — throughput is content-independent).
+    rng = np.random.default_rng(0)
+    luts = {}
+    for s in range(stages):
+        v = scale * scale if s + 1 == stages else 1
+        for m in modes:
+            try:
+                arr = np.load(
+                    "/root/reference/models/sr_x2sdy/"
+                    f"LUT_ft_x{scale}_{interval}bit_int8_s{s + 1}_{m}.npy"
+                ).reshape(-1, v)
+            except OSError:
+                arr = rng.integers(-127, 128, (L ** 4, v), dtype=np.int64)
+            luts[f"s{s + 1}_{m}"] = jnp.asarray(arr, jnp.int32)
+
+    img = jnp.asarray(
+        rng.integers(0, 256, (B, 3, H, W), dtype=np.int64), jnp.int32
+    )
+
+    @jax.jit
+    def run(x):
+        return lut_cascade_int(
+            luts, x, stages=stages, modes=modes, scale=scale, interval=interval
+        )
+
+    run(img).block_until_ready()  # compile + warm up
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = run(img)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+
+    out_mpix = B * H * W * scale * scale / 1e6
+    value = out_mpix / dt
+
+    ref_single = 0.0298  # measured on this host, see module docstring
+    baseline = ref_single * 24  # Pool(24) aggregate
+
+    print(
+        f"device={jax.devices()[0].platform} batch={B} {W}x{H}->x{scale} "
+        f"{dt * 1e3:.1f} ms/batch",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "lut_retrieval_throughput",
+                "value": round(value, 3),
+                "unit": "MPix/s",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,8 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ensemble import lut_cascade_int  # noqa: F401  (re-export convenience)
-from ..ops.simplex import round_ste, simplex_interp_diff
-from ..ops.taps import mode_pad
+from ..ops.simplex import round_ste, simplex_interp_diff, simplex_planes_diff
+from ..ops.taps import lane_rotation_perm, mode_pad, rotated_taps
 from ..utils.lut_io import lut_filename
 
 
@@ -72,18 +72,36 @@ def lut_model_forward(weights: dict, x, *, modes: str, stages: int,
             avg_factor, bias, scale = len(modes), 0.0, upscale
         else:
             avg_factor, bias, scale = len(modes) * 4, 127.0, 1
+        # Fused rotation ensemble: rotated tap offsets on an all-sides
+        # padded image + lane un-rotation, never rot90-ing tensors.  The
+        # reference STE-rounds the running accumulator after EVERY rotation
+        # addition (ref: sr/model.py:305-308) — rounding is elementwise, so
+        # the lane-space accumulation below preserves the exact order.
         pred = 0.0
+        h, w_ = x.shape[-2], x.shape[-1]
         for mode in modes:
             pad = mode_pad(mode)
             w = weights[f"s{stage}_{mode}"]
+            w127 = jnp.clip(round_ste(w * 127.0), -127.0, 127.0)
+            xp = jnp.pad(x, [(0, 0), (0, 0), (pad, pad), (pad, pad)],
+                         mode="edge")
             for r in range(4):
-                xr = jnp.rot90(x, r, axes=(-2, -1))
-                xr = jnp.pad(xr, [(0, 0), (0, 0), (0, pad), (0, pad)], mode="edge")
-                out = simplex_interp_diff(w, xr, mode=mode, upscale=scale,
-                                          interval=interval)
-                pred = pred + jnp.rot90(out, (4 - r) % 4, axes=(-2, -1))
-                pred = round_ste(pred)
-        x = round_ste(jnp.clip(pred / avg_factor + bias, 0, 255))
+                planes = [
+                    xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w_]
+                    for dy, dx in rotated_taps(mode, r)
+                ]
+                out = simplex_planes_diff(w127, planes, interval=interval)
+                if scale > 1 and r:
+                    out = out[..., lane_rotation_perm(scale, r)]
+                pred = round_ste(pred + out)
+        pred = round_ste(jnp.clip(pred / avg_factor + bias, 0, 255))
+        if scale > 1:
+            B, C = pred.shape[0], pred.shape[1]
+            pred = pred.reshape(B, C, h, w_, scale, scale)
+            pred = jnp.moveaxis(pred, -2, -3)
+            x = pred.reshape(B, C, h * scale, w_ * scale)
+        else:
+            x = pred[..., 0]
     return x / 255.0
 
 

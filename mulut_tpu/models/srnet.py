@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.simplex import round_ste
-from ..ops.taps import mode_pad, mode_taps
+from ..ops.taps import lane_rotation_perm, mode_pad, mode_taps, rotated_taps
 from .blocks import apply_mulut_unit, init_mulut_unit
 
 
@@ -65,10 +65,57 @@ def srnet_apply(unit_params: dict, x, *, mode: str, upscale: int):
     return out
 
 
-def _pad_rot(x, r: int, pad: int):
-    """rot90 then replicate-pad bottom/right (ref: sr/1_train_model.py:34)."""
-    xr = jnp.rot90(x, r, axes=(-2, -1))
-    return jnp.pad(xr, [(0, 0), (0, 0), (0, pad), (0, pad)], mode="edge")
+def _rotation_taps_batch(x, mode: str):
+    """(B, C, H, W) -> (4, B, C, H, W, 4) tap stacks for all 4 rotations.
+
+    Fused rotation ensemble: instead of rot90-ing the image per rotation
+    (ref: sr/1_train_model.py:33-35), each rotation reads the SAME
+    all-sides-padded image through rotated tap offsets; the unit's output
+    lanes are un-rotated with a static permutation.  Bit-equivalent, but
+    keeps every tensor in its natural layout and lets the 4 rotations share
+    one big MXU matmul.
+    """
+    pad = mode_pad(mode)
+    h, w = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, [(0, 0), (0, 0), (pad, pad), (pad, pad)], mode="edge")
+    rots = []
+    for r in range(4):
+        planes = [
+            xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w]
+            for dy, dx in rotated_taps(mode, r)
+        ]
+        rots.append(jnp.stack(planes, axis=-1))
+    return jnp.stack(rots, axis=0)
+
+
+def srnet_rotation_lanes(unit_params: dict, x, *, mode: str, upscale: int):
+    """All-4-rotation unit outputs as un-rotated lanes.
+
+    Args:
+      x: (B, C, H, W) float in [0, 1], UNpadded.
+
+    Returns:
+      (4, B, C, H, W, upscale**2) float in (-1, 1): rotation r's output with
+      its lane block already rotated back (equivalent to
+      rot90(unit(rot90(x, r)), 4-r) of the reference, in lane space).
+    """
+    taps = _rotation_taps_batch(x, mode)            # (4, B, C, h, w, 4)
+    shape = taps.shape
+    out = apply_mulut_unit(unit_params, taps.reshape(-1, 4))
+    out = out.reshape(*shape[:-1], upscale * upscale)
+    if upscale > 1:
+        out = jnp.stack(
+            [out[r][..., lane_rotation_perm(upscale, r)] for r in range(4)]
+        )
+    return out
+
+
+def _interleave_nchw(out, upscale: int):
+    """(B, C, h, w, up*up) -> (B, C, h*up, w*up)."""
+    B, C, h, w, _ = out.shape
+    out = out.reshape(B, C, h, w, upscale, upscale)
+    out = jnp.moveaxis(out, -2, -3)
+    return out.reshape(B, C, h * upscale, w * upscale)
 
 
 def srnets_predict(params: dict, x, *, modes: str, stages: int, scale: int,
@@ -76,7 +123,8 @@ def srnets_predict(params: dict, x, *, modes: str, stages: int, scale: int,
     """Full train-time forward: cascade of stage/mode/rotation ensembles.
 
     Matches mulut_predict (ref: sr/1_train_model.py:26-45): per rotation the
-    unit output is scaled by 127 and STE-rounded; intermediate stages mix with
+    unit output is scaled by 127 and STE-rounded *before* accumulating (so
+    the sum order is irrelevant); intermediate stages mix with
     avg = len(modes)*4, bias 127, clamp to [0,255] and renormalize; the final
     stage mixes with avg = len(modes), bias 0 (divided by 255 only in the
     train phase — the valid phase returns values in [0, 255]).
@@ -89,18 +137,17 @@ def srnets_predict(params: dict, x, *, modes: str, stages: int, scale: int,
         upscale = unit_upscale(stage, stages, scale)
         pred = 0.0
         for mode in modes:
-            pad = mode_pad(mode)
             unit = params[f"s{stage}_{mode}"]
-            for r in range(4):
-                out = srnet_apply(unit, _pad_rot(x, r, pad), mode=mode, upscale=upscale)
-                out = jnp.rot90(out, (4 - r) % 4, axes=(-2, -1))
-                pred = pred + round_ste(out * 127.0)
+            lanes = srnet_rotation_lanes(unit, x, mode=mode, upscale=upscale)
+            pred = pred + jnp.sum(round_ste(lanes * 127.0), axis=0)
         if stage == stages:
             x = round_ste(pred / len(modes))
+            x = _interleave_nchw(x, upscale)
             if phase == "train":
                 x = x / 255.0
         else:
-            x = round_ste(jnp.clip(pred / (len(modes) * 4) + 127.0, 0, 255)) / 255.0
+            pred = round_ste(jnp.clip(pred / (len(modes) * 4) + 127.0, 0, 255))
+            x = pred[..., 0] / 255.0
     return x
 
 
@@ -108,3 +155,61 @@ def dnnet_apply(unit_params: dict, x, *, mode: str):
     """Denoising/deblocking wrapper: stride-1, no upsampling
     (ref: common/network.py:229-272)."""
     return srnet_apply(unit_params, x, mode=mode, upscale=1)
+
+
+def init_dnnets(key, *, nf: int = 64, modes: str = "sdy", stages: int = 2) -> dict:
+    """Stage x mode registry of x1 units for denoising/deblocking tasks
+    (the DNNet counterpart of SRNets; ref: common/network.py:229-272)."""
+    params = {}
+    for s in range(stages):
+        for mode in modes:
+            key, sub = jax.random.split(key)
+            params[f"s{s + 1}_{mode}"] = init_mulut_unit(
+                sub, nf=nf, upscale=1, dense=True
+            )
+    return params
+
+
+def dnnets_predict(params: dict, x, *, modes: str, stages: int,
+                   phase: str = "train"):
+    """Train-time forward for the x1 (denoise/deblock) cascade — the SR
+    cascade with every stage at upscale 1."""
+    return srnets_predict(params, x, modes=modes, stages=stages, scale=1,
+                          phase=phase)
+
+
+def init_dmnet(key, *, nf: int = 64) -> dict:
+    """Demosaicking unit: 2x2 bayer block -> 3-channel 2x2 output
+    (ref: common/network.py:276-317, MuLUTUnit('2x2', nf, upscale=2,
+    out_c=3, dense=False))."""
+    return init_mulut_unit(key, nf=nf, upscale=2, out_c=3, dense=False)
+
+
+def dmnet_apply(unit_params: dict, x):
+    """Demosaic forward: RGGB bayer -> RGB at the same resolution.
+
+    The reference unfolds non-overlapping 2x2 bayer cells (stride 2), runs
+    the unit with out_c=3/upscale=2, and folds back with stride 2
+    (ref: common/network.py:296-317).  Here each cell's four pixels are
+    four strided views; the unit's 12 output lanes are (out_c, 2, 2) in
+    PixelShuffle order, interleaved back to full resolution.
+
+    Args:
+      x: (B, C, H, W) float in [0, 1], H and W even (C is usually 1 — the
+        raw mosaic; extra channels ride along like the batch dim).
+
+    Returns:
+      (B, C * 3, H, W) float in (-1, 1).
+    """
+    B, C, H, W = x.shape
+    h, w = H // 2, W // 2
+    planes = [
+        x[..., 0::2, 0::2], x[..., 0::2, 1::2],
+        x[..., 1::2, 0::2], x[..., 1::2, 1::2],
+    ]
+    taps = jnp.stack(planes, axis=-1)  # (B, C, h, w, 4)
+    out = apply_mulut_unit(unit_params, taps.reshape(-1, 4), dense=False)
+    out = out.reshape(B, C, h, w, 3, 2, 2)       # PixelShuffle lane order
+    out = jnp.moveaxis(out, -3, 2)               # (B, C, 3, h, w, 2, 2)
+    out = jnp.moveaxis(out, -2, -3)              # (B, C, 3, h, 2, w, 2)
+    return out.reshape(B, C * 3, H, W)

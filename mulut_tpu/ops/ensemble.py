@@ -6,6 +6,15 @@ Every intermediate quantity is a multiple of 1/q, so the whole cascade can be
 carried in int32 and the stage mix becomes one exact rational
 round-half-to-even — bit-identical to the reference and far friendlier to TPU
 vector units than float64.
+
+The rotation ensemble itself is fused into *tap-offset space*: instead of
+rot90-ing the image, padding, interpolating and rot90-ing the output back
+(which at 1080p materializes GBs of transposed int32 intermediates on TPU),
+each rotation r reads the SAME all-sides-padded image through rotated tap
+offsets (`taps.rotated_taps`) and permutes the unit's upscale**2 output
+lanes (`taps.lane_rotation_perm`).  All 4 rotations x all modes accumulate
+into one (..., h, w, v) lane buffer; the spatial interleave to
+(..., h*up, w*up) happens exactly once per stage.
 """
 
 from __future__ import annotations
@@ -13,8 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .simplex import simplex_interp_int
-from .taps import mode_pad
+from .simplex import _interleave, simplex_interp_int, simplex_planes_int
+from .taps import lane_rotation_perm, mode_pad, rotated_taps
 
 
 def round_half_even_div(n, d: int):
@@ -37,23 +46,49 @@ def stage_mix(acc, *, q: int, avg_factor: int, bias: int):
     return round_half_even_div(n, d)
 
 
-def rotation_ensemble_int(lut, img, *, mode: str, upscale: int, interval: int):
-    """Sum of the 4 rotated simplex-interp passes, integer accumulator.
+def _pad_all(img, pad: int):
+    cfg = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)]
+    return jnp.pad(img, cfg, mode="edge")
 
-    img: (..., H, W) int32 (unpadded).  Each rotation r rotates the image,
-    pads bottom/right (replicate), interpolates, and rotates the output back
-    (ref: sr/4_test_lut.py:293-298).
+
+def rotation_ensemble_lanes_int(lut, img, *, mode: str, upscale: int,
+                                interval: int):
+    """Sum over 4 rotations in fused tap-offset form.
+
+    Args:
+      img: (..., H, W) int32, unpadded.
+
+    Returns:
+      (..., H, W, upscale**2) int32 lane accumulator (q x reference float),
+      lanes already un-rotated — interleave once to get pixels.
     """
     pad = mode_pad(mode)
+    xp = _pad_all(img, pad)
+    h = img.shape[-2]
+    w = img.shape[-1]
     acc = None
     for r in range(4):
-        x = jnp.rot90(img, r, axes=(-2, -1))
-        pad_cfg = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, pad)]
-        x = jnp.pad(x, pad_cfg, mode="edge")
-        out = simplex_interp_int(lut, x, mode=mode, upscale=upscale, interval=interval)
-        out = jnp.rot90(out, (4 - r) % 4, axes=(-2, -1))
+        planes = [
+            xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w]
+            for dy, dx in rotated_taps(mode, r)
+        ]
+        out = simplex_planes_int(lut, planes, interval=interval)
+        if upscale > 1 and r:
+            out = out[..., lane_rotation_perm(upscale, r)]
         acc = out if acc is None else acc + out
     return acc
+
+
+def rotation_ensemble_int(lut, img, *, mode: str, upscale: int, interval: int):
+    """Sum of the 4 rotated simplex-interp passes, spatially interleaved.
+
+    Equivalent to the reference's rot90 -> pad -> interp -> rot90-back loop
+    (ref: sr/4_test_lut.py:293-298), computed without rotating any image.
+    """
+    acc = rotation_ensemble_lanes_int(
+        lut, img, mode=mode, upscale=upscale, interval=interval
+    )
+    return _interleave(acc, upscale)
 
 
 def lut_cascade_int(
@@ -87,9 +122,10 @@ def lut_cascade_int(
         acc = None
         for mode in modes:
             lut = luts[f"s{s + 1}_{mode}"]
-            out = rotation_ensemble_int(
+            out = rotation_ensemble_lanes_int(
                 lut, x, mode=mode, upscale=upscale, interval=interval
             )
             acc = out if acc is None else acc + out
-        x = stage_mix(acc, q=q, avg_factor=avg_factor, bias=bias)
+        mixed = stage_mix(acc, q=q, avg_factor=avg_factor, bias=bias)
+        x = _interleave(mixed, upscale) if upscale > 1 else mixed[..., 0]
     return x

@@ -66,8 +66,65 @@ def _interleave(out, upscale: int):
     return out.reshape(*lead, h * upscale, w * upscale)
 
 
+def simplex_planes_int(lut, planes, *, interval: int = 4):
+    """Exact integer 4-D simplex interpolation over four tap planes.
+
+    The workhorse of the fused ensemble: the caller supplies the four
+    sampled pixel planes (a, b, c, d) directly (shifted views of a padded
+    image — see `ensemble.lut_cascade_int` for how the rotation ensemble
+    becomes 4 static tap-offset sets instead of image rot90s).
+
+    Args:
+      lut: (L**4, v) int32 table (int8 values widened).
+      planes: sequence of four (..., h, w) int32 arrays in [0, 255].
+      interval: LSB bit width (q = 2**interval, L = 2**(8-interval) + 1).
+
+    Returns:
+      (..., h, w, v) int32 accumulator equal to q times the reference's
+      float output (i.e. before the final `/ q`), output lanes NOT yet
+      interleaved spatially.
+    """
+    q = 2 ** interval
+    L = 2 ** (8 - interval) + 1
+
+    a, b, c, d = planes
+    msb_a, msb_b, msb_c, msb_d = a // q, b // q, c // q, d // q
+    fa, fb, fc, fd = a % q, b % q, c % q, d % q
+
+    base = ((msb_a * L + msb_b) * L + msb_c) * L + msb_d
+    code = _comparison_code(fa, fb, fc, fd)
+
+    offs_t, _ = _tables(L)
+    offs = jnp.take(jnp.asarray(offs_t), code, axis=0)      # (..., h, w, 5)
+
+    # Simplex weights = adjacent differences of the DESC-sorted fractions:
+    # (q - s0, s0 - s1, s1 - s2, s2 - s3, s3).  The reference's 24 branches
+    # produce exactly this multiset (ref: sr/4_test_lut.py:148-231); tie
+    # order only affects which CORNER a weight pairs with (handled by the
+    # `code` table above), never the weight values.  A 5-comparator min/max
+    # network keeps this pure-VPU — no per-pixel int matvec, which XLA
+    # lowers to catastrophically slow s32 dot_generals on TPU.
+    hi_ab, lo_ab = jnp.maximum(fa, fb), jnp.minimum(fa, fb)
+    hi_cd, lo_cd = jnp.maximum(fc, fd), jnp.minimum(fc, fd)
+    s0 = jnp.maximum(hi_ab, hi_cd)
+    s3 = jnp.minimum(lo_ab, lo_cd)
+    mid_hi = jnp.minimum(hi_ab, hi_cd)
+    mid_lo = jnp.maximum(lo_ab, lo_cd)
+    s1 = jnp.maximum(mid_hi, mid_lo)
+    s2 = jnp.minimum(mid_hi, mid_lo)
+    weights = (q - s0, s0 - s1, s1 - s2, s2 - s3, s3)
+
+    # Accumulate corner-by-corner: never materializes the (..., 5, v)
+    # corner tensor (at 1080p x batch that intermediate is GBs).
+    out = None
+    for k in range(5):
+        term = weights[k][..., None] * jnp.take(lut, base + offs[..., k], axis=0)
+        out = term if out is None else out + term
+    return out
+
+
 def simplex_interp_int(lut, img, *, mode: str, upscale: int, interval: int = 4):
-    """Exact integer 4-D simplex interpolation.
+    """Single-pattern integer simplex interpolation on a padded image.
 
     Args:
       lut: (L**4, upscale**2) int32 table (int8 values widened).
@@ -75,46 +132,70 @@ def simplex_interp_int(lut, img, *, mode: str, upscale: int, interval: int = 4):
         replicate-padded on the bottom/right by `mode_pad(mode)`.
       mode: sampling pattern in {'s', 'd', 'y', 'e', 'h', 'o'}.
       upscale: output pixels per input pixel per axis (1 for inner stages).
-      interval: LSB bit width (q = 2**interval, L = 2**(8-interval) + 1).
 
     Returns:
       (..., h*upscale, w*upscale) int32 accumulator equal to q times the
       reference's float output (i.e. before the final `/ q`).
     """
-    q = 2 ** interval
-    L = 2 ** (8 - interval) + 1
     pad = mode_pad(mode)
     h = img.shape[-2] - pad
     w = img.shape[-1] - pad
-
-    a, b, c, d = _tap_planes(img, mode, h, w)
-    msb_a, msb_b, msb_c, msb_d = a // q, b // q, c // q, d // q
-    fa, fb, fc, fd = a % q, b % q, c % q, d % q
-
-    base = ((msb_a * L + msb_b) * L + msb_c) * L + msb_d
-    code = _comparison_code(fa, fb, fc, fd)
-
-    offs_t, coeffs_t = _tables(L)
-    offs = jnp.take(jnp.asarray(offs_t), code, axis=0)      # (..., h, w, 5)
-    coeff = jnp.take(jnp.asarray(coeffs_t), code, axis=0)   # (..., h, w, 5, 5)
-
-    idx = base[..., None] + offs               # (..., h, w, 5)
-    corners = jnp.take(lut, idx, axis=0)       # (..., h, w, 5, v)
-
-    qv = jnp.full_like(fa, q)
-    fvec = jnp.stack([qv, fa, fb, fc, fd], axis=-1)          # (..., h, w, 5)
-    weights = jnp.einsum(
-        "...ij,...j->...i", coeff, fvec, preferred_element_type=jnp.int32
-    )
-    out = jnp.einsum(
-        "...k,...kv->...v", weights, corners, preferred_element_type=jnp.int32
-    )
+    planes = _tap_planes(img, mode, h, w)
+    out = simplex_planes_int(lut, planes, interval=interval)
     return _interleave(out, upscale)
 
 
 def round_ste(x):
     """Round with straight-through gradient (ref: sr/model.py:59-67)."""
     return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
+def simplex_planes_diff(w127, planes, *, interval: int = 4):
+    """Differentiable simplex interpolation over four tap planes.
+
+    Args:
+      w127: (L**4, v) float32 LUT already re-quantized to int8 levels with
+        STE (round(weight*127) -> clamp(-127, 127)); gradients flow into it
+        through the 5 corner gathers and into the planes through the
+        fractional weights.
+      planes: four (..., h, w) float32 arrays in [0, 255].
+
+    Returns:
+      (..., h, w, v) float32 (already divided by q), lanes not interleaved.
+    """
+    q = 2 ** interval
+    L = 2 ** (8 - interval) + 1
+
+    a, b, c, d = planes
+    msb = [jnp.floor(p / q).astype(jnp.int32) for p in (a, b, c, d)]
+    fa, fb, fc, fd = (p % q for p in (a, b, c, d))
+
+    base = ((msb[0] * L + msb[1]) * L + msb[2]) * L + msb[3]
+    base = jax.lax.stop_gradient(base)
+    code = jax.lax.stop_gradient(_comparison_code(fa, fb, fc, fd))
+
+    offs_t, _ = _tables(L)
+    offs = jnp.take(jnp.asarray(offs_t), code, axis=0)
+
+    # Sorted-fraction weight formulation (see simplex_planes_int).  The
+    # min/max network is differentiable: each weight's gradient flows to
+    # the fraction it came from, matching the reference's per-branch
+    # expressions (ref: sr/model.py:199-282).
+    hi_ab, lo_ab = jnp.maximum(fa, fb), jnp.minimum(fa, fb)
+    hi_cd, lo_cd = jnp.maximum(fc, fd), jnp.minimum(fc, fd)
+    s0 = jnp.maximum(hi_ab, hi_cd)
+    s3 = jnp.minimum(lo_ab, lo_cd)
+    mid_hi = jnp.minimum(hi_ab, hi_cd)
+    mid_lo = jnp.maximum(lo_ab, lo_cd)
+    s1 = jnp.maximum(mid_hi, mid_lo)
+    s2 = jnp.minimum(mid_hi, mid_lo)
+    weights = (q - s0, s0 - s1, s1 - s2, s2 - s3, s3)
+
+    out = None
+    for k in range(5):
+        term = weights[k][..., None] * jnp.take(w127, base + offs[..., k], axis=0)
+        out = term if out is None else out + term
+    return out / q
 
 
 def simplex_interp_diff(weight, img, *, mode: str, upscale: int, interval: int = 4):
@@ -130,33 +211,12 @@ def simplex_interp_diff(weight, img, *, mode: str, upscale: int, interval: int =
       path (ref: sr/model.py:69-287) including the weight re-quantization
       round(weight*127) -> clamp(-127, 127) with straight-through gradients.
     """
-    q = 2 ** interval
-    L = 2 ** (8 - interval) + 1
     pad = mode_pad(mode)
     h = img.shape[-2] - pad
     w = img.shape[-1] - pad
-
     w127 = jnp.clip(round_ste(weight * 127.0), -127.0, 127.0)
-
-    a, b, c, d = _tap_planes(img, mode, h, w)
-    msb = [jnp.floor(p / q).astype(jnp.int32) for p in (a, b, c, d)]
-    fa, fb, fc, fd = (p % q for p in (a, b, c, d))
-
-    base = ((msb[0] * L + msb[1]) * L + msb[2]) * L + msb[3]
-    base = jax.lax.stop_gradient(base)
-    code = jax.lax.stop_gradient(_comparison_code(fa, fb, fc, fd))
-
-    offs_t, coeffs_t = _tables(L)
-    offs = jnp.take(jnp.asarray(offs_t), code, axis=0)
-    coeff = jnp.take(jnp.asarray(coeffs_t), code, axis=0).astype(jnp.float32)
-
-    idx = base[..., None] + offs
-    corners = jnp.take(w127, idx, axis=0)      # (..., h, w, 5, v)
-
-    qv = jnp.full_like(fa, float(q))
-    fvec = jnp.stack([qv, fa, fb, fc, fd], axis=-1)
-    weights = jnp.einsum("...ij,...j->...i", coeff, fvec)
-    out = jnp.einsum("...k,...kv->...v", weights, corners) / q
+    planes = _tap_planes(img, mode, h, w)
+    out = simplex_planes_diff(w127, planes, interval=interval)
     return _interleave(out, upscale)
 
 

@@ -29,3 +29,38 @@ def mode_taps(mode: str):
 
 def mode_pad(mode: str) -> int:
     return PAD[mode]
+
+
+def rotated_taps(mode: str, r: int):
+    """Tap offsets equivalent to sampling the r-times-rot90'd image.
+
+    The reference evaluates each rotation as rot90(img, r) -> pad ->
+    interp -> rot90(out, 4-r) (ref: sr/4_test_lut.py:293-298).  Sampling
+    the standard taps on the rotated image equals sampling *rotated* taps
+    on the unrotated image: np.rot90(x, r)[i' + dy, j' + dx] lands on the
+    original pixel (i, j) displaced by the offset map below.  Offsets may
+    go negative; callers pad the image on ALL sides by `mode_pad(mode)`
+    (edge mode), which reproduces the reference's per-rotation
+    bottom/right edge padding exactly (including corners).
+    """
+    maps = {
+        0: lambda dy, dx: (dy, dx),
+        1: lambda dy, dx: (dx, -dy),
+        2: lambda dy, dx: (-dy, -dx),
+        3: lambda dy, dx: (-dx, dy),
+    }
+    return tuple(maps[r % 4](dy, dx) for dy, dx in TAPS[mode])
+
+
+def lane_rotation_perm(upscale: int, r: int):
+    """Lane permutation equal to rot90(up x up output block, 4-r).
+
+    A unit's v = upscale**2 output lanes tile the output block row-major
+    (lane = a*up + b for subcell (a, b)).  Un-rotating the full output
+    image (ref: sr/4_test_lut.py:297-298) permutes each pixel's block by
+    rot90(-r); `out[..., perm]` applies it in lane space.
+    """
+    import numpy as np
+
+    grid = np.arange(upscale * upscale).reshape(upscale, upscale)
+    return np.rot90(grid, -(r % 4)).flatten().copy()
