@@ -1,8 +1,13 @@
 """Headline benchmark: LUT-retrieval throughput of the full MuLUT cascade.
 
 Measures the deployment path — 2-stage x sdy x 4-rotation integer LUT
-cascade with exact reference rounding (ref: sr/4_test_lut.py:263-306) — on
-the default JAX device, upscaling a 480x270 RGB batch to 1920x1080 (x4).
+cascade with exact reference rounding (ref: sr/4_test_lut.py:263-306), via
+the corner-expanded int8 gather engine — on the default JAX device,
+upscaling a 480x270 RGB batch to 1920x1080 (x4).
+
+Timing method: marginal wall-clock between n and 2n executions with a
+device-to-host sync after each group (plain block_until_ready under-reports
+through remote-device tunnels).
 
 Prints ONE JSON line:
   {"metric": "lut_retrieval_throughput", "value": <output MPix/s>,
@@ -10,7 +15,7 @@ Prints ONE JSON line:
 
 Baseline: the reference NumPy engine (FourSimplexInterpFaster, single
 process) measured on this machine at 0.0298 output-MPix/s per process
-(69.7 s per 480x270->1080p image); the reference fans out over a
+(69.7 s per 480x270 -> 1080p image); the reference fans out over a
 Pool of 24 workers (ref: sr/4_test_lut.py:257-259), giving ~0.714 MPix/s
 aggregate — that aggregate is the vs_baseline denominator.
 """
@@ -26,7 +31,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mulut_tpu.ops.ensemble import lut_cascade_int
+    from mulut_tpu.ops.ensemble import lut_cascade_int, prepare_expanded_luts
 
     scale, stages, modes, interval = 4, 2, "sdy", 4
     L = 2 ** (8 - interval) + 1
@@ -47,7 +52,8 @@ def main():
                 ).reshape(-1, v)
             except OSError:
                 arr = rng.integers(-127, 128, (L ** 4, v), dtype=np.int64)
-            luts[f"s{s + 1}_{m}"] = jnp.asarray(arr, jnp.int32)
+            luts[f"s{s + 1}_{m}"] = arr.astype(np.int8)
+    eluts = prepare_expanded_luts(luts, interval=interval)
 
     img = jnp.asarray(
         rng.integers(0, 256, (B, 3, H, W), dtype=np.int64), jnp.int32
@@ -56,17 +62,22 @@ def main():
     @jax.jit
     def run(x):
         return lut_cascade_int(
-            luts, x, stages=stages, modes=modes, scale=scale, interval=interval
+            eluts, x, stages=stages, modes=modes, scale=scale,
+            interval=interval, expanded=True,
         )
 
-    run(img).block_until_ready()  # compile + warm up
+    np.asarray(run(img)[0, 0, 0, :4])  # compile + warm + real sync
 
-    n_iter = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = run(img)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+    def wall(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = run(img)
+        np.asarray(out[0, 0, 0, :4])  # device-to-host forces full drain
+        return time.perf_counter() - t0
+
+    n = 4
+    dt = (wall(2 * n) - wall(n)) / n
 
     out_mpix = B * H * W * scale * scale / 1e6
     value = out_mpix / dt

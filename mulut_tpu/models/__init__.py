@@ -5,7 +5,11 @@ from .blocks import (
     init_mulut_unit,
 )
 from .srnet import (
+    dmnet_apply,
     dnnet_apply,
+    dnnets_predict,
+    init_dmnet,
+    init_dnnets,
     init_srnets,
     srnet_apply,
     srnets_predict,
@@ -23,7 +27,11 @@ __all__ = [
     "apply_mulut_unit",
     "init_mulut_c_unit",
     "init_mulut_unit",
+    "dmnet_apply",
     "dnnet_apply",
+    "dnnets_predict",
+    "init_dmnet",
+    "init_dnnets",
     "init_srnets",
     "srnet_apply",
     "srnets_predict",

@@ -21,8 +21,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .simplex import _interleave, simplex_interp_int, simplex_planes_int
+from . import simplex_tables
+from .simplex import (
+    _interleave,
+    simplex_interp_int,
+    simplex_planes_expanded_int,
+    simplex_planes_int,
+)
 from .taps import lane_rotation_perm, mode_pad, rotated_taps
 
 
@@ -52,10 +59,14 @@ def _pad_all(img, pad: int):
 
 
 def rotation_ensemble_lanes_int(lut, img, *, mode: str, upscale: int,
-                                interval: int):
+                                interval: int, expanded: bool = False):
     """Sum over 4 rotations in fused tap-offset form.
 
     Args:
+      lut: (L**4, v) int32 table, or — with expanded=True — a
+        (L**4, 16 * v) int8 corner-expanded table (see
+        `simplex_tables.expand_lut`), which cuts the per-pixel gather count
+        from 5 rows to 1.
       img: (..., H, W) int32, unpadded.
 
     Returns:
@@ -72,11 +83,47 @@ def rotation_ensemble_lanes_int(lut, img, *, mode: str, upscale: int,
             xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w]
             for dy, dx in rotated_taps(mode, r)
         ]
-        out = simplex_planes_int(lut, planes, interval=interval)
-        if upscale > 1 and r:
-            out = out[..., lane_rotation_perm(upscale, r)]
+        if expanded:
+            # Per-rotation table copies carry the un-rotation lane perm
+            # pre-applied (see prepare_expanded_luts) — no runtime shuffle.
+            table = lut[r] if lut.ndim == 3 else lut
+            out = simplex_planes_expanded_int(
+                table, planes, v=upscale * upscale, interval=interval
+            )
+        else:
+            out = simplex_planes_int(lut, planes, interval=interval)
+            if upscale > 1 and r:
+                out = out[..., lane_rotation_perm(upscale, r)]
         acc = out if acc is None else acc + out
     return acc
+
+
+def prepare_expanded_luts(luts: dict, *, interval: int = 4) -> dict:
+    """Host-side: int8 corner-expanded device tables.
+
+    v == 1 tables become (L**4, 16); multi-lane tables become
+    (4, L**4, 16*v) with rotation r's copy carrying the output-lane
+    un-rotation permutation pre-applied (a per-pixel lane shuffle costs
+    ~3.4 ms/rotation at 1080p on a v5e — pre-baking it into 4 table copies
+    trades ~256 MB of HBM for zero runtime cost).
+
+    Feed the result to `lut_cascade_int(..., expanded=True)`.
+    """
+    out = {}
+    for key, lut in luts.items():
+        arr = np.asarray(lut)
+        e = simplex_tables.expand_lut(arr.astype(np.int8), interval)
+        v = e.shape[-1]
+        if v == 1:
+            out[key] = jnp.asarray(e.reshape(e.shape[0], 16))
+        else:
+            up = int(round(v ** 0.5))
+            copies = [
+                e[:, :, lane_rotation_perm(up, r)].reshape(e.shape[0], -1)
+                for r in range(4)
+            ]
+            out[key] = jnp.asarray(np.stack(copies))
+    return out
 
 
 def rotation_ensemble_int(lut, img, *, mode: str, upscale: int, interval: int):
@@ -91,6 +138,22 @@ def rotation_ensemble_int(lut, img, *, mode: str, upscale: int, interval: int):
     return _interleave(acc, upscale)
 
 
+def clamp_pad_region(img, valid_hw):
+    """Overwrite rows/cols beyond (h, w) with edge replicas of the valid
+    region.
+
+    `img` is (..., Hb, Wb) with static bucket dims; `valid_hw = (h, w)` may
+    be traced scalars.  Equivalent to cropping to (h, w) and edge-padding
+    back to (Hb, Wb), but with static shapes — the key to compiling the
+    cascade ONCE per bucket and serving every image size below it.
+    """
+    h, w = valid_hw
+    Hb, Wb = img.shape[-2], img.shape[-1]
+    rows = jnp.minimum(jnp.arange(Hb), h - 1)
+    cols = jnp.minimum(jnp.arange(Wb), w - 1)
+    return jnp.take(jnp.take(img, rows, axis=-2), cols, axis=-1)
+
+
 def lut_cascade_int(
     luts: dict,
     img,
@@ -99,14 +162,24 @@ def lut_cascade_int(
     modes: str,
     scale: int,
     interval: int = 4,
+    expanded: bool = False,
+    valid_hw=None,
 ):
     """Full multi-stage x multi-mode x rotation-ensemble LUT cascade.
 
     Args:
       luts: {"s{stage}_{mode}": (L**4, v) int32} with v = scale**2 for the
-        last stage and 1 otherwise (ref: sr/4_test_lut.py:323-333).
+        last stage and 1 otherwise (ref: sr/4_test_lut.py:323-333); with
+        expanded=True, the corner-expanded int8 tables from
+        `prepare_expanded_luts` instead.
       img: (..., H, W) int32 in [0, 255]; channels (if any) ride the leading
         batch dims — the cascade is channel-agnostic.
+      valid_hw: optional (h, w) traced scalars for bucketed evaluation: the
+        image occupies the top-left (h, w) of the static (H, W) buffer, the
+        rest is don't-care.  The pad region is re-synchronized to edge
+        replicas of the valid region before every stage, which keeps the
+        valid part of the output bit-identical to an unbucketed run (the
+        caller crops to (h*scale, w*scale)).
 
     Returns:
       (..., H*scale, W*scale) int32 in [0, 255], bit-identical to the
@@ -115,6 +188,8 @@ def lut_cascade_int(
     q = 2 ** interval
     x = img.astype(jnp.int32)
     for s in range(stages):
+        if valid_hw is not None:
+            x = clamp_pad_region(x, valid_hw)
         last = s + 1 == stages
         upscale = scale if last else 1
         avg_factor = len(modes) if last else len(modes) * 4
@@ -123,7 +198,8 @@ def lut_cascade_int(
         for mode in modes:
             lut = luts[f"s{s + 1}_{mode}"]
             out = rotation_ensemble_lanes_int(
-                lut, x, mode=mode, upscale=upscale, interval=interval
+                lut, x, mode=mode, upscale=upscale, interval=interval,
+                expanded=expanded,
             )
             acc = out if acc is None else acc + out
         mixed = stage_mix(acc, q=q, avg_factor=avg_factor, bias=bias)

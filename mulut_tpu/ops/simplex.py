@@ -123,6 +123,105 @@ def simplex_planes_int(lut, planes, *, interval: int = 4):
     return out
 
 
+def _sorted_fractions(fa, fb, fc, fd):
+    """Descending sort of the four fractions via a 5-comparator network."""
+    hi_ab, lo_ab = jnp.maximum(fa, fb), jnp.minimum(fa, fb)
+    hi_cd, lo_cd = jnp.maximum(fc, fd), jnp.minimum(fc, fd)
+    s0 = jnp.maximum(hi_ab, hi_cd)
+    s3 = jnp.minimum(lo_ab, lo_cd)
+    mid_hi = jnp.minimum(hi_ab, hi_cd)
+    mid_lo = jnp.maximum(lo_ab, lo_cd)
+    return s0, jnp.maximum(mid_hi, mid_lo), jnp.minimum(mid_hi, mid_lo), s3
+
+
+def _fraction_ranks(fa, fb, fc, fd):
+    """Descending rank (0 = largest) of each fraction, with the reference's
+    tie-breaking.
+
+    rank_x = #{y : y beats x}, where y beats x iff f_y > f_x strictly, or
+    f_y == f_x and y is the later letter.  Verified exhaustively equal to
+    the permutation implied by the reference's 24-branch chain
+    (ref: sr/4_test_lut.py:148-231) for every outcome of the six strict
+    comparisons, including all tie patterns.
+    """
+    one = jnp.int32(1)
+    cab = (fa > fb).astype(jnp.int32)
+    cac = (fa > fc).astype(jnp.int32)
+    cad = (fa > fd).astype(jnp.int32)
+    cbc = (fb > fc).astype(jnp.int32)
+    cbd = (fb > fd).astype(jnp.int32)
+    ccd = (fc > fd).astype(jnp.int32)
+    rank_a = 3 - cab - cac - cad
+    rank_b = 2 + cab - cbc - cbd
+    rank_c = 1 + cac + cbc - ccd
+    rank_d = 0 + cad + cbd + ccd
+    del one
+    return rank_a, rank_b, rank_c, rank_d
+
+
+def simplex_planes_expanded_int(elut, planes, *, v: int, interval: int = 4):
+    """Single-gather integer simplex interpolation over an expanded LUT.
+
+    The TPU-first formulation of the hot path: XLA's TPU gather costs a
+    fixed ~2-7 ns per row regardless of width, so the five corner gathers
+    per pixel (ref: sr/4_test_lut.py:61-110) are folded into ONE gather of
+    a pre-expanded row holding all 16 hypercube corners
+    (`simplex_tables.expand_lut`); the five simplex corners are then picked
+    out arithmetically: corner mask m participates with weight w_popcount(m)
+    iff m == {dims with rank < popcount(m)}.
+
+    Args:
+      elut: (L**4, 16 * v) int8 expanded table (device array).
+      planes: four (..., h, w) int32 tap planes in [0, 255].
+      v: output lanes per pixel (upscale**2).
+
+    Returns:
+      (..., h, w, v) int32 accumulator (q x the reference's float output).
+    """
+    q = 2 ** interval
+    L = 2 ** (8 - interval) + 1
+
+    # Work on flat (N,) planes: high-rank intermediates tile poorly on TPU.
+    lead = planes[0].shape
+    a, b, c, d = (p.reshape(-1) for p in planes)
+    fa, fb, fc, fd = a % q, b % q, c % q, d % q
+    base = (((a // q) * L + b // q) * L + c // q) * L + d // q
+
+    s0, s1, s2, s3 = _sorted_fractions(fa, fb, fc, fd)
+    # Everything below fits in f32 exactly (|values| < 2^24), which lets the
+    # per-pixel 16-corner weighted sum run as one fp dot instead of int32
+    # multiply-add chains (XLA handles s32 reductions poorly on TPU).
+    w = [
+        x.astype(jnp.float32)
+        for x in (q - s0, s0 - s1, s1 - s2, s2 - s3, s3)
+    ]
+    ra, rb, rc, rd = _fraction_ranks(fa, fb, fc, fd)
+
+    g = jnp.take(elut, base, axis=0)                     # (N, 16*v) int8
+    g = g.reshape(-1, 16, v).astype(jnp.float32)
+
+    # rank_x < k indicators for k = 1..3 (k=0: no dims, k=4: all dims)
+    lt = {
+        x: [None] + [(r < k) for k in (1, 2, 3)] + [None]
+        for x, r in (("a", ra), ("b", rb), ("c", rc), ("d", rd))
+    }
+
+    lams = []
+    for m in range(16):
+        bits = ((m >> 3) & 1, (m >> 2) & 1, (m >> 1) & 1, m & 1)
+        k = sum(bits)
+        used = None
+        for x, bit in zip("abcd", bits):
+            if k in (0, 4):
+                continue  # membership test is vacuous at the path endpoints
+            cond = lt[x][k] if bit else ~lt[x][k]
+            used = cond if used is None else used & cond
+        lams.append(w[k] if used is None else jnp.where(used, w[k], 0.0))
+    lam = jnp.stack(lams, axis=-1)                       # (N, 16) f32
+    out = jnp.einsum("nm,nmv->nv", lam, g)               # exact in f32
+    return out.astype(jnp.int32).reshape(*lead, v)
+
+
 def simplex_interp_int(lut, img, *, mode: str, upscale: int, interval: int = 4):
     """Single-pattern integer simplex interpolation on a padded image.
 

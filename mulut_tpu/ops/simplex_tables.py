@@ -162,6 +162,36 @@ def weight_coeffs() -> np.ndarray:
     return _COEFFS.astype(np.int32)
 
 
+def expand_lut(lut: np.ndarray, interval: int = 4) -> np.ndarray:
+    """Pre-expand a LUT so each row carries all 16 hypercube-corner values.
+
+    E[row, m, :] = lut[flat(digits(row) + bits(m) clipped to L-1), :] for the
+    4-bit corner mask m (bit 3 = a, matching the corner-mask convention of
+    `_perm_tables`).  One gather of E[base] then replaces the reference's five
+    per-pixel corner gathers (ref: sr/4_test_lut.py:61-110): the five simplex
+    corners are selected from the 16 on the VPU by rank arithmetic (see
+    `simplex.simplex_planes_expanded_int`).  Real base rows have digits
+    <= L-2 per dim (a pixel of 255 has MSB 15), so the +1 clip only affects
+    rows that are never gathered.
+
+    Returns (L**4, 16, v) with lut's dtype (int8 for deployment tables).
+    """
+    L = 2 ** (8 - interval) + 1
+    v = lut.shape[1] if lut.ndim == 2 else 1
+    flat = lut.reshape(L ** 4, v)
+    idx = np.arange(L ** 4, dtype=np.int64)
+    digits = np.stack(
+        [idx // L ** 3 % L, idx // L ** 2 % L, idx // L % L, idx % L], axis=1
+    )
+    out = np.empty((L ** 4, 16, v), dtype=lut.dtype)
+    for m in range(16):
+        bits = np.array([(m >> 3) & 1, (m >> 2) & 1, (m >> 1) & 1, m & 1])
+        d = np.minimum(digits + bits, L - 1)
+        corner = ((d[:, 0] * L + d[:, 1]) * L + d[:, 2]) * L + d[:, 3]
+        out[:, m, :] = flat[corner]
+    return out
+
+
 def comparison_code(fa, fb, fc, fd, xp=np):
     """6-bit code from the strict pairwise comparisons (host/NumPy helper)."""
     return (

@@ -1,3 +1,4 @@
+from .spatial import cascade_row_sharded, row_sharding, shard_image_rows
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -7,6 +8,9 @@ from .mesh import (
 )
 
 __all__ = [
+    "cascade_row_sharded",
+    "row_sharding",
+    "shard_image_rows",
     "batch_sharding",
     "make_mesh",
     "replicate_tree",

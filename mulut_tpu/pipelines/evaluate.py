@@ -16,43 +16,124 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ensemble import lut_cascade_int
+from ..ops.ensemble import lut_cascade_int, prepare_expanded_luts
 from ..utils.imgio import load_image, save_image
 from ..utils.lut_io import load_luts
 from ..utils.metrics import modcrop, psnr_ssim_y
 
 
 class LutEvaluator:
-    """Holds device LUTs + a shape-cached jitted cascade."""
+    """Holds device LUTs + a shape-cached jitted cascade.
+
+    Uses the corner-expanded int8 engine (one gather per pixel per
+    mode x rotation instead of five; see ops.simplex_tables.expand_lut) —
+    bit-identical to the reference NumPy engine.
+    """
 
     def __init__(self, luts: dict, *, stages: int, modes: str, scale: int,
-                 interval: int = 4):
+                 interval: int = 4, bucket: int = 0):
         self.stages = stages
         self.modes = modes
         self.scale = scale
         self.interval = interval
-        self.luts = {k: jnp.asarray(np.asarray(v).astype(np.int32))
-                     for k, v in luts.items()}
+        self.bucket = bucket
+        self.luts = prepare_expanded_luts(luts, interval=interval)
 
         @jax.jit
         def _run(img):
             return lut_cascade_int(self.luts, img, stages=stages, modes=modes,
-                                   scale=scale, interval=interval)
+                                   scale=scale, interval=interval,
+                                   expanded=True)
+
+        @jax.jit
+        def _run_bucketed(img, h, w):
+            return lut_cascade_int(self.luts, img, stages=stages, modes=modes,
+                                   scale=scale, interval=interval,
+                                   expanded=True, valid_hw=(h, w))
+
+        self._run = _run
+        self._run_bucketed = _run_bucketed
+
+    @classmethod
+    def from_folder(cls, lut_folder: str, *, stages: int = 2, modes: str = "sdy",
+                    scale: int = 4, interval: int = 4, lut_name: str = "LUT_ft",
+                    bucket: int = 0):
+        luts = load_luts(lut_folder, stages=stages, modes=modes, scale=scale,
+                         interval=interval, name=lut_name)
+        return cls(luts, stages=stages, modes=modes, scale=scale,
+                   interval=interval, bucket=bucket)
+
+    def upscale(self, img_lr: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 LR -> (H*scale, W*scale, 3) uint8 SR.
+
+        With `bucket > 0`, images are evaluated in a (ceil to bucket)-sized
+        buffer with the pad region clamp-synchronized on device — ONE
+        compiled program per bucket shape serves every image size below it,
+        with bit-identical output.
+        """
+        chw = img_lr.astype(np.int32).transpose(2, 0, 1)
+        if not self.bucket:
+            out = np.asarray(self._run(jnp.asarray(chw)))
+            return out.transpose(1, 2, 0).astype(np.uint8)
+        h, w = chw.shape[-2:]
+        bucket = self.bucket
+        hb = -(-h // bucket) * bucket
+        wb = -(-w // bucket) * bucket
+        buf = np.pad(chw, [(0, 0), (0, hb - h), (0, wb - w)], mode="edge")
+        out = np.asarray(
+            self._run_bucketed(
+                jnp.asarray(buf), jnp.int32(h), jnp.int32(w)
+            )
+        )[:, : h * self.scale, : w * self.scale]
+        return out.transpose(1, 2, 0).astype(np.uint8)
+
+
+class NetEvaluator:
+    """Deploys the trained MuLUT network directly (no LUT caching).
+
+    TPU-first deployment mode: the cacheable units are tiny tap-MLPs, and
+    the MXU evaluates them faster than any table can be gathered — LUTs
+    exist to make CPUs fast, matmuls make TPUs fast.  Output quality equals
+    the CNN validation PSNR (ref train.log iter-200000 numbers), i.e. it
+    slightly EXCEEDS the quantized LUT path; use `LutEvaluator` when
+    bit-parity with the reference LUT engine is required.
+    """
+
+    def __init__(self, params: dict, *, stages: int, modes: str, scale: int):
+        from ..models.srnet import srnets_predict
+
+        self.stages = stages
+        self.modes = modes
+        self.scale = scale
+        self.params = params
+
+        @jax.jit
+        def _run(x):
+            return srnets_predict(params, x, modes=modes, stages=stages,
+                                  scale=scale, phase="valid")
 
         self._run = _run
 
     @classmethod
-    def from_folder(cls, lut_folder: str, *, stages: int = 2, modes: str = "sdy",
-                    scale: int = 4, interval: int = 4, lut_name: str = "LUT_ft"):
-        luts = load_luts(lut_folder, stages=stages, modes=modes, scale=scale,
-                         interval=interval, name=lut_name)
-        return cls(luts, stages=stages, modes=modes, scale=scale, interval=interval)
+    def from_checkpoint(cls, path: str, *, stages: int = 2, modes: str = "sdy",
+                        scale: int = 4):
+        if path.endswith(".npz"):
+            from ..models.torch_import import load_params_npz
+
+            params = load_params_npz(path)
+        else:
+            from ..models.torch_import import srnets_params_from_torch
+
+            params = srnets_params_from_torch(path, modes=modes, stages=stages)
+        return cls(params, stages=stages, modes=modes, scale=scale)
 
     def upscale(self, img_lr: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 LR -> (H*scale, W*scale, 3) uint8 SR."""
-        chw = jnp.asarray(img_lr.astype(np.int32).transpose(2, 0, 1))
-        out = np.asarray(self._run(chw))
-        return out.transpose(1, 2, 0).astype(np.uint8)
+        x = jnp.asarray(
+            img_lr.astype(np.float32).transpose(2, 0, 1)[None] / 255.0
+        )
+        out = np.asarray(self._run(x))[0].transpose(1, 2, 0)
+        return np.round(np.clip(out, 0, 255)).astype(np.uint8)
 
 
 def eval_dataset(evaluator: LutEvaluator, test_dir: str, dataset: str,

@@ -1,6 +1,6 @@
 from .imgio import load_image, save_image
 from .lut_io import load_luts, lut_filename, lut_key, save_lut
-from .metrics import modcrop, psnr, psnr_ssim_y, rgb2ycbcr, ssim
+from .metrics import modcrop, psnr, psnr_ssim_y, rgb2ycbcr, ssim, ycbcr2rgb
 
 __all__ = [
     "load_image",
@@ -14,4 +14,5 @@ __all__ = [
     "psnr_ssim_y",
     "rgb2ycbcr",
     "ssim",
+    "ycbcr2rgb",
 ]

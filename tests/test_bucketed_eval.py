@@ -1,0 +1,38 @@
+"""Bucketed evaluation must be bit-identical to exact-shape evaluation.
+
+The bucketed path pads the image into a static bucket-sized buffer and
+clamp-resynchronizes the pad region to valid-edge replicas before every
+stage (ops/ensemble.py:clamp_pad_region) — one compiled program serves all
+image sizes below the bucket.
+"""
+
+import numpy as np
+import pytest
+
+from mulut_tpu.pipelines.evaluate import LutEvaluator
+
+
+@pytest.fixture(scope="module")
+def small_luts():
+    rng = np.random.default_rng(3)
+    luts = {}
+    for s, v in ((1, 1), (2, 16)):
+        for m in "sdy":
+            luts[f"s{s}_{m}"] = rng.integers(-127, 128, (17 ** 4, v)).astype(
+                np.int8
+            )
+    return luts
+
+
+def test_bucketed_equals_exact(small_luts):
+    rng = np.random.default_rng(5)
+    exact = LutEvaluator(small_luts, stages=2, modes="sdy", scale=4)
+    bucketed = LutEvaluator(small_luts, stages=2, modes="sdy", scale=4,
+                            bucket=16)
+    # two sizes sharing ONE bucket shape (16, 32) — exercises the jit-cache
+    # hit and the clamp-resync with different valid extents
+    for hw in ((13, 18), (16, 32)):
+        img = rng.integers(0, 256, hw + (3,)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            exact.upscale(img), bucketed.upscale(img), err_msg=str(hw)
+        )

@@ -1,0 +1,72 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Data-parallel training (params replicated / batch sharded, grad psum over
+the mesh — the reference's DataParallel equivalent, ref:
+sr/1_train_model.py:141-142) and row-sharded LUT retrieval with XLA halo
+exchange (`parallel/spatial.py`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mulut_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from mulut_tpu.parallel.spatial import cascade_row_sharded
+from mulut_tpu.ops.ensemble import lut_cascade_int
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_dp_train_step_matches_single_device(mesh):
+    from mulut_tpu.models.srnet import init_srnets
+    from mulut_tpu.pipelines.train import make_optimizer, make_train_step
+
+    params = init_srnets(jax.random.PRNGKey(0), nf=4, scale=2, modes="s",
+                         stages=1)
+    optimizer = make_optimizer(1e-3, 1e-4, 10)
+    step = make_train_step(optimizer, modes="s", stages=1, scale=2)
+
+    rng = np.random.default_rng(0)
+    im = rng.random((8, 1, 6, 6), dtype=np.float32)
+    lb = rng.random((8, 1, 12, 12), dtype=np.float32)
+
+    # single device
+    p1, s1, loss1 = step(params, optimizer.init(params),
+                         jnp.asarray(im), jnp.asarray(lb))
+
+    # sharded over the mesh
+    pr = replicate_tree(mesh, params)
+    sr = replicate_tree(mesh, optimizer.init(params))
+    im_s, lb_s = shard_batch(mesh, im, lb)
+    p8, s8, loss8 = step(pr, sr, im_s, lb_s)
+
+    assert np.allclose(float(loss1), float(loss8), atol=1e-6)
+    for k in p1:
+        for name in p1[k]:
+            np.testing.assert_allclose(
+                np.asarray(p1[k][name]), np.asarray(p8[k][name]), atol=1e-6
+            )
+
+
+def test_row_sharded_cascade_bit_exact(mesh, rng):
+    luts = {}
+    for s, v in ((1, 1), (2, 4)):
+        for m in "sdy":
+            luts[f"s{s}_{m}"] = jnp.asarray(
+                rng.integers(-127, 128, (17 ** 4, v)), jnp.int32
+            )
+    img = rng.integers(0, 256, (3, 16, 10))
+    want = np.asarray(lut_cascade_int(
+        luts, jnp.asarray(img, jnp.int32), stages=2, modes="sdy", scale=2,
+    ))
+    got = np.asarray(cascade_row_sharded(
+        mesh, luts, jnp.asarray(img, jnp.int32), stages=2, modes="sdy",
+        scale=2,
+    ))
+    np.testing.assert_array_equal(want, got)
