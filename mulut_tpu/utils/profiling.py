@@ -1,0 +1,69 @@
+"""Profiling/tracing helpers.
+
+The reference's observability is wall-clock dT/rT accumulators in the train
+loops (ref: sr/1_train_model.py:183-201) — those are preserved in our
+pipelines for log parity.  This module adds the TPU-native layer on top:
+`jax.profiler` traces viewable in TensorBoard/Perfetto, plus an honest
+remote-device timer (plain block_until_ready under-reports through
+remote-device tunnels; a device-to-host readback is the only reliable sync).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str | None = None):
+    """Capture a jax.profiler trace around a block.
+
+    Enabled when `log_dir` is given or MULUT_TRACE_DIR is set; otherwise a
+    no-op, so call sites can wrap hot loops unconditionally.
+    """
+    log_dir = log_dir or os.environ.get("MULUT_TRACE_DIR")
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region inside a trace (`with annotate("stage2"): ...`)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+def device_time(fn, *args, n: int = 4) -> float:
+    """Marginal seconds per `fn(*args)` execution, tunnel-safe.
+
+    Runs n and then 2n executions, each group followed by a device-to-host
+    readback, and returns (t_2n - t_n) / n — this cancels the fixed
+    dispatch/sync overhead of remote-device transports and defeats
+    async-dispatch under-reporting.
+    """
+    import jax
+
+    out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).reshape(-1)[:1]
+
+    def wall(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:1] if hasattr(leaf, "reshape") else leaf)
+        return time.perf_counter() - t0
+
+    return max((wall(2 * n) - wall(n)) / n, 1e-9)
