@@ -151,6 +151,54 @@ def srnets_predict(params: dict, x, *, modes: str, stages: int, scale: int,
     return x
 
 
+def srnets_predict_tiled(params: dict, x, *, modes: str, stages: int,
+                         scale: int, phase: str = "valid", band: int = 32,
+                         halo: int = 4):
+    """Band-tiled cascade forward for large images.
+
+    The full-resolution tap-MLP cascade materializes (4 rot x B x C x H x W,
+    5*nf) activations — tens of GB at 1080p — so rows are processed in
+    sequential bands via lax.scan.  Each band carries `halo` extra rows per
+    side (the cascade's receptive field is 2 rows per stage); band-edge
+    contamination from the per-band edge padding stays inside the halo and
+    is cropped, making the result identical to the untiled forward.
+
+    Args:
+      x: (B, C, H, W) float32 in [0, 1]; H must be divisible by `band`.
+
+    Returns:
+      (B, C, H*scale, W*scale) like `srnets_predict(..., phase=phase)`.
+    """
+    B, C, H, W = x.shape
+    slab_h = band + 2 * halo
+    assert H >= slab_h, (H, band, halo)
+    n_bands = -(-H // band)
+
+    # Slabs are clamped INTO the image: a halo made of edge-replicated rows
+    # would differ from the untiled forward at the true image edges (the
+    # ensemble of a replicated row is not the replica of the ensemble — the
+    # rotated taps read real rows on the other side).  At a true edge the
+    # slab boundary coincides with the image boundary, so the cascade's own
+    # padding applies exactly; interior band-edge contamination stays within
+    # `halo` rows and is cropped.  When band does not divide H, the last
+    # band overlaps the previous one — overwrites are identical values.
+    def one_band(i, out_buf):
+        kept0 = jnp.minimum(i * band, H - band)
+        start = jnp.clip(kept0 - halo, 0, H - slab_h)
+        slab = jax.lax.dynamic_slice_in_dim(x, start, slab_h, axis=2)
+        out = srnets_predict(params, slab, modes=modes, stages=stages,
+                             scale=scale, phase=phase)
+        out = jax.lax.dynamic_slice_in_dim(
+            out, (kept0 - start) * scale, band * scale, axis=2
+        )
+        return jax.lax.dynamic_update_slice_in_dim(
+            out_buf, out.astype(out_buf.dtype), kept0 * scale, axis=2
+        )
+
+    out_buf = jnp.zeros((B, C, H * scale, W * scale), jnp.float32)
+    return jax.lax.fori_loop(0, n_bands, one_band, out_buf)
+
+
 def dnnet_apply(unit_params: dict, x, *, mode: str):
     """Denoising/deblocking wrapper: stride-1, no upsampling
     (ref: common/network.py:229-272)."""

@@ -87,6 +87,16 @@ class LutEvaluator:
         )[:, : h * self.scale, : w * self.scale]
         return out.transpose(1, 2, 0).astype(np.uint8)
 
+    def upscale_batch(self, imgs_lr: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 -> (B, H*scale, W*scale, 3) uint8.
+
+        Batched same-shape throughput path (the per-chip bench shape); for
+        mixed sizes use `upscale` with a bucket.
+        """
+        chw = jnp.asarray(imgs_lr.astype(np.int32).transpose(0, 3, 1, 2))
+        out = np.asarray(self._run(chw))
+        return out.transpose(0, 2, 3, 1).astype(np.uint8)
+
 
 class NetEvaluator:
     """Deploys the trained MuLUT network directly (no LUT caching).
@@ -99,8 +109,13 @@ class NetEvaluator:
     bit-parity with the reference LUT engine is required.
     """
 
+    #: LR pixel count above which the band-tiled forward is used (the
+    #: untiled cascade materializes ~25 KB of activations per LR pixel).
+    TILE_THRESHOLD = 96 * 96
+    BAND = 16
+
     def __init__(self, params: dict, *, stages: int, modes: str, scale: int):
-        from ..models.srnet import srnets_predict
+        from ..models.srnet import srnets_predict, srnets_predict_tiled
 
         self.stages = stages
         self.modes = modes
@@ -112,7 +127,14 @@ class NetEvaluator:
             return srnets_predict(params, x, modes=modes, stages=stages,
                                   scale=scale, phase="valid")
 
+        @jax.jit
+        def _run_tiled(x):
+            return srnets_predict_tiled(params, x, modes=modes, stages=stages,
+                                        scale=scale, phase="valid",
+                                        band=self.BAND)
+
         self._run = _run
+        self._run_tiled = _run_tiled
 
     @classmethod
     def from_checkpoint(cls, path: str, *, stages: int = 2, modes: str = "sdy",
@@ -132,7 +154,11 @@ class NetEvaluator:
         x = jnp.asarray(
             img_lr.astype(np.float32).transpose(2, 0, 1)[None] / 255.0
         )
-        out = np.asarray(self._run(x))[0].transpose(1, 2, 0)
+        h, w = img_lr.shape[:2]
+        run = (self._run_tiled
+               if h * w > self.TILE_THRESHOLD and h >= self.BAND + 8
+               else self._run)
+        out = np.asarray(run(x))[0].transpose(1, 2, 0)
         return np.round(np.clip(out, 0, 255)).astype(np.uint8)
 
 
@@ -167,7 +193,8 @@ def run_test(opt, datasets=("Set5",)) -> dict:
     """Step-4 CLI behavior: load LUTs, evaluate datasets, print summary."""
     evaluator = LutEvaluator.from_folder(
         opt.expDir, stages=opt.stages, modes=opt.modes, scale=opt.scale,
-        interval=opt.interval, lut_name=opt.lutName
+        interval=opt.interval, lut_name=opt.lutName,
+        bucket=getattr(opt, "evalBucket", 0),
     )
     exp_name = opt.expDir.rstrip("/").split("/")[-1]
     summary = {}

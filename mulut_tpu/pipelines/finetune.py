@@ -88,8 +88,19 @@ def finetune(opt) -> dict:
         interval=opt.interval
     )
 
+    n_dev = (min(opt.gpuNum, jax.device_count())
+             if getattr(opt, "gpuNum", 1) > 1 else 1)
+    mesh = None
+    if n_dev > 1:
+        from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+
+        mesh = make_mesh(n_dev)
+
     optimizer = make_optimizer(opt.lr0, opt.lr1, opt.totalIter, opt.weightDecay)
     opt_state = optimizer.init(weights)
+    if mesh is not None:
+        weights = replicate_tree(mesh, weights)
+        opt_state = replicate_tree(mesh, opt_state)
     step = make_finetune_step(optimizer, modes=opt.modes, stages=opt.stages,
                               upscale=opt.scale, interval=opt.interval)
 
@@ -101,7 +112,10 @@ def finetune(opt) -> dict:
     for i in range(opt.startIter + 1, opt.totalIter + 1):
         st = time.time()
         im, lb = provider.next()
-        im, lb = jnp.asarray(im), jnp.asarray(lb)
+        if mesh is not None:
+            im, lb = shard_batch(mesh, im, lb)
+        else:
+            im, lb = jnp.asarray(im), jnp.asarray(lb)
         dT += time.time() - st
 
         st = time.time()

@@ -59,6 +59,9 @@ class MuLutConfig:
     step_timeouts: dict = field(default_factory=lambda: {
         "quick": 600, "test": 3600, "full": 86400
     })
+    crop_sizes: dict = field(default_factory=lambda: {
+        "quick": 16, "test": 32, "full": 48
+    })
 
     @property
     def exp_dir(self) -> str:
@@ -114,7 +117,8 @@ def _train_opt(cfg: MuLutConfig):
         interval=cfg.interval, expDir=cfg.exp_dir,
         valoutDir=os.path.join(cfg.exp_dir, "val"),
         trainDir=cfg.train_dir, valDir=cfg.val_dir,
-        batchSize=cfg.batch_size, cropSize=48, workerNum=2,
+        batchSize=cfg.batch_size, cropSize=cfg.crop_sizes[cfg.mode],
+        workerNum=2,
         startIter=0, totalIter=total,
         displayStep=max(1, total // 10), valStep=max(1, total),
         saveStep=max(1, total), lr0=1e-3, lr1=1e-4, weightDecay=0.0,

@@ -177,4 +177,9 @@ class TestOptions(BaseOptions):
         parser.add_argument("--testDir", type=str, default="../data/SRBenchmark")
         parser.add_argument("--resultRoot", type=str, default="../results")
         parser.add_argument("--lutName", type=str, default="LUT_ft")
+        parser.add_argument("--evalBucket", type=int, default=0,
+                            help="round eval shapes up to multiples of this "
+                                 "(one compiled program serves many image "
+                                 "sizes; output bit-identical; 0 = exact "
+                                 "shapes)")
         return parser
