@@ -12,7 +12,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ensemble import lut_cascade_int  # noqa: F401  (re-export convenience)
-from ..ops.simplex import round_ste, simplex_interp_diff, simplex_planes_diff
+from ..ops.simplex import (
+    expand_weight,
+    round_ste,
+    simplex_interp_diff,
+    simplex_planes_diff,
+    simplex_planes_expanded_diff,
+)
 from ..ops.taps import lane_rotation_perm, mode_pad, rotated_taps
 from ..utils.lut_io import lut_filename
 
@@ -77,12 +83,18 @@ def lut_model_forward(weights: dict, x, *, modes: str, stages: int,
         # reference STE-rounds the running accumulator after EVERY rotation
         # addition (ref: sr/model.py:305-308) — rounding is elementwise, so
         # the lane-space accumulation below preserves the exact order.
+        # Each mode's trainable LUT is corner-expanded in-graph
+        # (expand_weight), collapsing the five corner gathers AND their five
+        # backward scatters into one wide row per tapset; forward values are
+        # bit-identical to the naive path (integer-valued f32 summands).
         pred = 0.0
         h, w_ = x.shape[-2], x.shape[-1]
+        v = scale * scale
         for mode in modes:
             pad = mode_pad(mode)
             w = weights[f"s{stage}_{mode}"]
             w127 = jnp.clip(round_ste(w * 127.0), -127.0, 127.0)
+            e127 = expand_weight(w127, interval=interval)
             xp = jnp.pad(x, [(0, 0), (0, 0), (pad, pad), (pad, pad)],
                          mode="edge")
             for r in range(4):
@@ -90,7 +102,8 @@ def lut_model_forward(weights: dict, x, *, modes: str, stages: int,
                     xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w_]
                     for dy, dx in rotated_taps(mode, r)
                 ]
-                out = simplex_planes_diff(w127, planes, interval=interval)
+                out = simplex_planes_expanded_diff(e127, planes, v=v,
+                                                   interval=interval)
                 if scale > 1 and r:
                     out = out[..., lane_rotation_perm(scale, r)]
                 pred = round_ste(pred + out)

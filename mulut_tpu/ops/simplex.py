@@ -297,6 +297,72 @@ def simplex_planes_diff(w127, planes, *, interval: int = 4):
     return out / q
 
 
+def expand_weight(w127, *, interval: int = 4):
+    """Differentiable corner expansion: (L**4, v) -> (L**4, 16*v).
+
+    One gather from the trainable table; its backward is one segment-fold
+    instead of the five per-corner scatters the naive path needs per tapset.
+    """
+    idx = jnp.asarray(simplex_tables.expand_indices(interval))
+    L4 = w127.shape[0]
+    return jnp.take(w127, idx, axis=0).reshape(L4, -1)
+
+
+def simplex_planes_expanded_diff(e127, planes, *, v: int, interval: int = 4):
+    """Differentiable single-gather simplex interpolation.
+
+    The fine-tuning counterpart of `simplex_planes_expanded_int`: `e127` is
+    the differentiably-expanded float table from `expand_weight`, so the
+    five corner gathers AND their five backward scatters collapse into one
+    wide row gather/scatter per tapset.  Forward values are bit-identical
+    to `simplex_planes_diff` (all addends are integer-valued floats below
+    2**24, so f32 summation order is irrelevant).
+
+    Args:
+      e127: (L**4, 16 * v) float32 expanded table.
+      planes: four (..., h, w) float32 tap planes in [0, 255].
+
+    Returns:
+      (..., h, w, v) float32 (already divided by q), lanes not interleaved.
+    """
+    q = 2 ** interval
+    L = 2 ** (8 - interval) + 1
+
+    lead = planes[0].shape
+    a, b, c, d = (p.reshape(-1) for p in planes)
+    fa, fb, fc, fd = (p % q for p in (a, b, c, d))
+    msb = [jnp.floor(p / q).astype(jnp.int32) for p in (a, b, c, d)]
+    base = ((msb[0] * L + msb[1]) * L + msb[2]) * L + msb[3]
+    base = jax.lax.stop_gradient(base)
+
+    s0, s1, s2, s3 = _sorted_fractions(fa, fb, fc, fd)
+    w = (q - s0, s0 - s1, s1 - s2, s2 - s3, s3)
+    ranks = _fraction_ranks(
+        *(jax.lax.stop_gradient(f) for f in (fa, fb, fc, fd))
+    )
+    lt = {
+        x: [None] + [(r < k) for k in (1, 2, 3)] + [None]
+        for x, r in zip("abcd", ranks)
+    }
+
+    g = jnp.take(e127, base, axis=0).reshape(-1, 16, v)
+
+    lams = []
+    for m in range(16):
+        bits = ((m >> 3) & 1, (m >> 2) & 1, (m >> 1) & 1, m & 1)
+        k = sum(bits)
+        used = None
+        for x, bit in zip("abcd", bits):
+            if k in (0, 4):
+                continue
+            cond = lt[x][k] if bit else ~lt[x][k]
+            used = cond if used is None else used & cond
+        lams.append(w[k] if used is None else jnp.where(used, w[k], 0.0))
+    lam = jnp.stack(lams, axis=-1)                       # (N, 16) f32
+    out = jnp.einsum("nm,nmv->nv", lam, g) / q
+    return out.reshape(*lead, v)
+
+
 def simplex_interp_diff(weight, img, *, mode: str, upscale: int, interval: int = 4):
     """Differentiable simplex interpolation for STE LUT fine-tuning.
 

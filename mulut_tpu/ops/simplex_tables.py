@@ -192,6 +192,27 @@ def expand_lut(lut: np.ndarray, interval: int = 4) -> np.ndarray:
     return out
 
 
+def expand_indices(interval: int = 4) -> np.ndarray:
+    """(L**4 * 16,) int32: row r*16 + m = flat(digits(r) + bits(m), clipped).
+
+    `table[expand_indices].reshape(L**4, 16*v)` equals `expand_lut(table)` —
+    the differentiable in-graph form used by LUT fine-tuning, whose backward
+    folds expanded-row gradients back onto base rows through one gather
+    transpose instead of five per-corner scatters.
+    """
+    L = 2 ** (8 - interval) + 1
+    idx = np.arange(L ** 4, dtype=np.int64)
+    digits = np.stack(
+        [idx // L ** 3 % L, idx // L ** 2 % L, idx // L % L, idx % L], axis=1
+    )
+    out = np.empty((L ** 4, 16), dtype=np.int32)
+    for m in range(16):
+        bits = np.array([(m >> 3) & 1, (m >> 2) & 1, (m >> 1) & 1, m & 1])
+        d = np.minimum(digits + bits, L - 1)
+        out[:, m] = ((d[:, 0] * L + d[:, 1]) * L + d[:, 2]) * L + d[:, 3]
+    return out.reshape(-1)
+
+
 def comparison_code(fa, fb, fc, fd, xp=np):
     """6-bit code from the strict pairwise comparisons (host/NumPy helper)."""
     return (

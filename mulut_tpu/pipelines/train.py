@@ -69,8 +69,29 @@ def make_train_step(optimizer, *, modes: str, stages: int, scale: int):
     return step
 
 
+def make_summary_writer(log_dir: str):
+    """TensorBoard writer (ref: sr/1_train_model.py:127), or a no-op stub
+    when torch's tensorboard backend is unavailable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=log_dir)
+    except Exception:  # noqa: BLE001 - observability must never break training
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def flush(self):
+                pass
+
+            def close(self):
+                pass
+
+        return _Null()
+
+
 def valid_steps(params, valid: SRBenchmark, opt, it: int, logger,
-                predict_fn=None):
+                predict_fn=None, writer=None):
     """Benchmark validation with PNG dumps (ref: sr/1_train_model.py:70-119)."""
     datasets = ["Set5"] if opt.debug else valid.datasets
 
@@ -99,11 +120,14 @@ def valid_steps(params, valid: SRBenchmark, opt, it: int, logger,
                 save_image(os.path.join(result_path, f"{name}_input.png"), lr)
                 save_image(os.path.join(result_path, f"{name}_gt.png"), hr)
             save_image(os.path.join(result_path, f"{name}_net.png"), pred)
+        avg = float(np.mean(np.asarray(psnrs)))
         logger.info(
             "Iter {} | Dataset {} | AVG Val PSNR: {:02f}".format(
-                it, dataset, float(np.mean(np.asarray(psnrs)))
+                it, dataset, avg
             )
         )
+        if writer is not None:
+            writer.add_scalar(f"PSNR_valid/{dataset}", avg, it)
 
 
 def train(opt) -> dict:
@@ -111,6 +135,7 @@ def train(opt) -> dict:
     logger_name = "train"
     logger_info(logger_name, os.path.join(opt.expDir, logger_name + ".log"))
     logger = logging.getLogger(logger_name)
+    writer = make_summary_writer(opt.expDir)
 
     n_dev = min(opt.gpuNum, jax.device_count()) if opt.gpuNum > 1 else 1
     mesh = make_mesh(n_dev) if n_dev > 1 else None
@@ -162,6 +187,7 @@ def train(opt) -> dict:
                     dT / opt.displayStep, rT / opt.displayStep
                 )
             )
+            writer.add_scalar("loss_Pixel", l_accum / opt.displayStep, i)
             l_accum, dT, rT = 0.0, 0.0, 0.0
 
         if i % opt.saveStep == 0:
@@ -170,8 +196,10 @@ def train(opt) -> dict:
             logger.info(f"Checkpoint saved {i}")
 
         if i % opt.valStep == 0:
-            valid_steps(params, valid, opt, i, logger)
+            valid_steps(params, valid, opt, i, logger, writer=writer)
+            writer.flush()
 
     provider.close()
+    writer.close()
     logger.info("Complete")
     return params
