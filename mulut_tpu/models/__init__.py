@@ -13,6 +13,9 @@ from .srnet import (
     init_srnets,
     srnet_apply,
     srnets_predict,
+    srnets_predict_fast,
+    srnets_predict_tiled,
+    stack_srnets_for_fast,
     unit_upscale,
 )
 from .torch_import import (
@@ -35,6 +38,9 @@ __all__ = [
     "init_srnets",
     "srnet_apply",
     "srnets_predict",
+    "srnets_predict_fast",
+    "srnets_predict_tiled",
+    "stack_srnets_for_fast",
     "unit_upscale",
     "load_params_npz",
     "load_torch_state_dict",

@@ -88,11 +88,17 @@ def _rotation_taps_batch(x, mode: str):
     return jnp.stack(rots, axis=0)
 
 
-def srnet_rotation_lanes(unit_params: dict, x, *, mode: str, upscale: int):
+def srnet_rotation_lanes(unit_params: dict, x, *, mode: str, upscale: int,
+                         precision=jax.lax.Precision.HIGHEST,
+                         unit_impl: str = "xla"):
     """All-4-rotation unit outputs as un-rotated lanes.
 
     Args:
       x: (B, C, H, W) float in [0, 1], UNpadded.
+      precision: MXU matmul precision for the unit (HIGHEST for
+        LUT-caching-grade exactness; DEFAULT/bf16 for fast deployment).
+      unit_impl: "xla" (blocks.apply_mulut_unit) or "pallas" (the fused
+        VMEM-resident kernel, bf16 params/inputs required, TPU only).
 
     Returns:
       (4, B, C, H, W, upscale**2) float in (-1, 1): rotation r's output with
@@ -101,7 +107,14 @@ def srnet_rotation_lanes(unit_params: dict, x, *, mode: str, upscale: int):
     """
     taps = _rotation_taps_batch(x, mode)            # (4, B, C, h, w, 4)
     shape = taps.shape
-    out = apply_mulut_unit(unit_params, taps.reshape(-1, 4))
+    if unit_impl == "pallas":
+        from ..ops.unit_kernel import fused_unit_apply
+
+        out = fused_unit_apply(unit_params, taps.reshape(-1, 4),
+                               out_dim=upscale * upscale)
+    else:
+        out = apply_mulut_unit(unit_params, taps.reshape(-1, 4),
+                               precision=precision)
     out = out.reshape(*shape[:-1], upscale * upscale)
     if upscale > 1:
         out = jnp.stack(
@@ -119,7 +132,9 @@ def _interleave_nchw(out, upscale: int):
 
 
 def srnets_predict(params: dict, x, *, modes: str, stages: int, scale: int,
-                   phase: str = "train"):
+                   phase: str = "train",
+                   precision=jax.lax.Precision.HIGHEST,
+                   unit_impl: str = "xla"):
     """Full train-time forward: cascade of stage/mode/rotation ensembles.
 
     Matches mulut_predict (ref: sr/1_train_model.py:26-45): per rotation the
@@ -138,7 +153,9 @@ def srnets_predict(params: dict, x, *, modes: str, stages: int, scale: int,
         pred = 0.0
         for mode in modes:
             unit = params[f"s{stage}_{mode}"]
-            lanes = srnet_rotation_lanes(unit, x, mode=mode, upscale=upscale)
+            lanes = srnet_rotation_lanes(unit, x, mode=mode, upscale=upscale,
+                                         precision=precision,
+                                         unit_impl=unit_impl)
             pred = pred + jnp.sum(round_ste(lanes * 127.0), axis=0)
         if stage == stages:
             x = round_ste(pred / len(modes))
@@ -151,9 +168,72 @@ def srnets_predict(params: dict, x, *, modes: str, stages: int, scale: int,
     return x
 
 
+def stack_srnets_for_fast(params: dict, *, modes: str, stages: int,
+                          scale: int) -> list:
+    """Per-stage stacked bf16 params for `srnets_predict_fast`."""
+    from ..ops.unit_kernel import stack_stage_params
+
+    return [
+        stack_stage_params(
+            params, stage=s + 1, modes=modes,
+            upscale=unit_upscale(s + 1, stages, scale),
+        )
+        for s in range(stages)
+    ]
+
+
+def _ensemble_taps(x, modes: str):
+    """(B, C, H, W) -> (N, 16*M) bf16 tap matrix, column blocks ordered
+    [mode][rotation][tap]."""
+    N = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+    per_mode = [_rotation_taps_batch(x, m).reshape(4, N, 4) for m in modes]
+    t = jnp.stack(per_mode, axis=0)               # (M, 4, N, 4)
+    t = jnp.moveaxis(t, 2, 0)                     # (N, M, 4, 4)
+    return t.reshape(N, -1).astype(jnp.bfloat16)
+
+
+def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
+                        scale: int, interpret: bool = False):
+    """Fast (bf16) deployment forward via the Pallas stage-ensemble kernel.
+
+    The whole mode x rotation ensemble of each stage — 4*len(modes) tap-MLP
+    passes, output-lane un-rotation, per-rotation round(127*out)
+    accumulation — runs inside one VMEM-resident kernel per stage
+    (ops/unit_kernel.py); XLA only assembles tap matrices and applies the
+    stage mixing.  Matches `srnets_predict(phase='valid')` up to bf16
+    rounding (~0.05 dB on Set5 x4); use the f32 path when exactness to the
+    cached-LUT pipeline matters.
+
+    Args:
+      stacked_stages: from `stack_srnets_for_fast`.
+      x: (B, C, H, W) float in [0, 1] (any float dtype; cast internally).
+    """
+    from ..ops.unit_kernel import stage_ensemble_apply
+
+    M = len(modes)
+    B, C, H, W = x.shape
+    x = x.astype(jnp.bfloat16)
+    for s in range(stages):
+        stage = s + 1
+        upscale = unit_upscale(stage, stages, scale)
+        acc = stage_ensemble_apply(
+            stacked_stages[s], _ensemble_taps(x, modes), n_modes=M,
+            interpret=interpret,
+        )
+        if stage == stages:
+            out = jnp.round(acc[:, : upscale * upscale] / M)
+            out = out.reshape(B, C, H, W, upscale, upscale)
+            out = jnp.moveaxis(out, -2, -3)
+            return out.reshape(B, C, H * upscale, W * upscale)
+        mixed = jnp.clip(jnp.round(acc[:, 0] / (M * 4) + 127.0), 0, 255)
+        x = (mixed.reshape(B, C, H, W) / 255.0).astype(jnp.bfloat16)
+
+
 def srnets_predict_tiled(params: dict, x, *, modes: str, stages: int,
                          scale: int, phase: str = "valid", band: int = 32,
-                         halo: int = 4):
+                         halo: int = 4,
+                         precision=jax.lax.Precision.HIGHEST,
+                         unit_impl: str = "xla"):
     """Band-tiled cascade forward for large images.
 
     The full-resolution tap-MLP cascade materializes (4 rot x B x C x H x W,
@@ -187,7 +267,8 @@ def srnets_predict_tiled(params: dict, x, *, modes: str, stages: int,
         start = jnp.clip(kept0 - halo, 0, H - slab_h)
         slab = jax.lax.dynamic_slice_in_dim(x, start, slab_h, axis=2)
         out = srnets_predict(params, slab, modes=modes, stages=stages,
-                             scale=scale, phase=phase)
+                             scale=scale, phase=phase, precision=precision,
+                             unit_impl=unit_impl)
         out = jax.lax.dynamic_slice_in_dim(
             out, (kept0 - start) * scale, band * scale, axis=2
         )

@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: fused MuLUT tap-MLP unit forward.
+
+The XLA bf16 unit forward is activation-bandwidth-bound: every dense-concat
+layer round-trips its (N, k*nf) activations through HBM.  This kernel keeps
+the whole concat buffer in VMEM per row tile — head layer as 4 broadcast
+mul-adds (a K=4 matmul is MXU-hostile), four MXU matmuls over the growing
+concat, tanh output — for ~3.6x over XLA's bf16 lowering on a v5e
+(717 vs 201 Mrow/s measured).
+
+Used by the fast (bf16) deployment path; the f32/HIGHEST path for LUT
+caching stays on `blocks.apply_mulut_unit` (exactness over speed).
+Numerics match XLA's bf16 path to bf16 rounding (intermediate activations
+are stored bf16 in both).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 2048
+ENSEMBLE_TILE = 1024
+
+
+def _kernel(nf: int,
+            t_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6, b6,
+            out_ref, cat):
+    t = t_ref[:]                                       # (TILE, 4) bf16
+    x = None
+    for k in range(4):
+        term = t[:, k : k + 1] * w1[k : k + 1, :]      # (TILE,1)*(1,nf)
+        x = term if x is None else x + term
+    x = jnp.maximum(x + b1[:][None, :], 0).astype(jnp.bfloat16)
+    cat[:, 0:nf] = x
+    for k, (w, b) in enumerate(
+        ((w2, b2), (w3, b3), (w4, b4), (w5, b5)), start=1
+    ):
+        xk = jnp.dot(cat[:, 0 : nf * k], w[:],
+                     preferred_element_type=jnp.float32)
+        xk = jnp.maximum(xk + b[:][None, :].astype(jnp.float32), 0)
+        cat[:, nf * k : nf * (k + 1)] = xk.astype(jnp.bfloat16)
+    o = jnp.dot(cat[:, :], w6[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.tanh(o + b6[:][None, :].astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dim",))
+def fused_unit_apply(params: dict, taps, *, out_dim: int):
+    """(N, 4) bf16 taps -> (N, out_dim) bf16 through a dense MuLUT unit.
+
+    Args:
+      params: bf16 unit params in the `blocks.init_mulut_unit(dense=True)`
+        layout (w1 (4, nf) ... w6 (5*nf, out_dim)).
+      taps: (N, 4) bfloat16; N is padded to a TILE multiple internally.
+    """
+    nf = params["w1"].shape[1]
+    n = taps.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    if n_pad != n:
+        taps = jnp.pad(taps, [(0, n_pad - n), (0, 0)])
+
+    # Pad the output head to a lane-friendly width (bf16 minor dims < 8 hit
+    # Mosaic layout restrictions); callers slice back.
+    out_pad = max(8, -(-out_dim // 8) * 8)
+    w6, b6 = params["w6"], params["b6"]
+    if out_pad != out_dim:
+        w6 = jnp.pad(w6, [(0, 0), (0, out_pad - out_dim)])
+        b6 = jnp.pad(b6, [(0, out_pad - out_dim)])
+
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+    out = pl.pallas_call(
+        functools.partial(_kernel, nf),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.bfloat16),
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ] + wspecs,
+        out_specs=pl.BlockSpec((TILE, out_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE, 5 * nf), jnp.bfloat16)],
+    )(
+        taps, params["w1"], params["b1"], params["w2"], params["b2"],
+        params["w3"], params["b3"], params["w4"], params["b4"],
+        params["w5"], params["b5"], w6, b6,
+    )
+    return out[:n, :out_dim]
+
+
+# ---------------------------------------------------------------------------
+# Whole-stage ensemble kernel: all modes x all 4 rotations of one cascade
+# stage in a single pass — per row tile, 4*M MLP passes run entirely in
+# VMEM, output-lane un-rotation is baked into permuted w6 column blocks, and
+# the reference's per-rotation round(127*out) accumulation happens in-kernel
+# (ref: sr/1_train_model.py:26-45 semantics).  XLA sees only the (N, 16*M)
+# tap matrix in and one (N, 16) accumulator out.
+# ---------------------------------------------------------------------------
+
+
+def stack_stage_params(params: dict, *, stage: int, modes: str, upscale: int,
+                       out_pad: int = 16) -> dict:
+    """Stack one stage's per-mode unit params for the ensemble kernel.
+
+    Returns bf16 arrays: w1 (M, 4, nf), ..., w6 (M, 5*nf, 4*out_pad) with
+    rotation r's columns pre-permuted by `lane_rotation_perm(upscale, r)`
+    and zero-padded from upscale**2 to out_pad lanes.
+    """
+    import numpy as np
+
+    from .taps import lane_rotation_perm
+
+    st = {}
+    for name in ("w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4", "w5", "b5"):
+        st[name] = jnp.stack(
+            [jnp.asarray(params[f"s{stage}_{m}"][name]) for m in modes]
+        ).astype(jnp.bfloat16)
+    v = upscale * upscale
+    w6s, b6s = [], []
+    for m in modes:
+        w6 = np.asarray(params[f"s{stage}_{m}"]["w6"])
+        b6 = np.asarray(params[f"s{stage}_{m}"]["b6"])
+        cols, bs = [], []
+        for r in range(4):
+            perm = (lane_rotation_perm(upscale, r) if v > 1
+                    else np.array([0]))
+            wp, bp = w6[:, perm], b6[perm]
+            if v < out_pad:
+                wp = np.pad(wp, [(0, 0), (0, out_pad - v)])
+                bp = np.pad(bp, [(0, out_pad - v)])
+            cols.append(wp)
+            bs.append(bp)
+        w6s.append(np.concatenate(cols, axis=1))
+        b6s.append(np.concatenate(bs))
+    st["w6"] = jnp.asarray(np.stack(w6s), jnp.bfloat16)  # (M, 5nf, 4*out_pad)
+    st["b6"] = jnp.asarray(np.stack(b6s), jnp.bfloat16)  # (M, 4*out_pad)
+    return st
+
+
+def _ensemble_kernel(nf: int, n_modes: int, out_pad: int,
+                     t_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6, b6,
+                     out_ref, cat):
+    acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[:, col : col + 4]
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            x = jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16)
+            cat[:, 0:nf] = x
+            for li, (w, b) in enumerate(
+                ((w2, b2), (w3, b3), (w4, b4), (w5, b5)), start=1
+            ):
+                xk = jnp.dot(cat[:, 0 : nf * li], w[mi],
+                             preferred_element_type=jnp.float32)
+                xk = jnp.maximum(xk + b[mi][None, :].astype(jnp.float32), 0)
+                cat[:, nf * li : nf * (li + 1)] = xk.astype(jnp.bfloat16)
+            o = jnp.dot(cat[:, :], w6[mi, :, out_pad * r : out_pad * (r + 1)],
+                        preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, out_pad * r : out_pad * (r + 1)][None, :]
+                .astype(jnp.float32)
+            )
+            acc = acc + jnp.round(o * 127.0)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_modes", "out_pad", "interpret"))
+def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
+                         out_pad: int = 16, interpret: bool = False):
+    """(N, 16*M) bf16 rotation/mode tap matrix -> (N, out_pad) f32 ensemble.
+
+    Output = sum over modes and rotations of round(127 * unit(taps)), with
+    output lanes already un-rotated.  `interpret=True` runs the kernel in
+    the Pallas interpreter (CPU testing).
+    """
+    nf = stacked["w1"].shape[2]
+    n = taps.shape[0]
+    n_pad = -(-n // ENSEMBLE_TILE) * ENSEMBLE_TILE
+    if n_pad != n:
+        taps = jnp.pad(taps, [(0, n_pad - n), (0, 0)])
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+    width = 16 * n_modes
+    out = pl.pallas_call(
+        functools.partial(_ensemble_kernel, nf, n_modes, out_pad),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+        grid=(n_pad // ENSEMBLE_TILE,),
+        in_specs=[
+            pl.BlockSpec((ENSEMBLE_TILE, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ] + wspecs,
+        out_specs=pl.BlockSpec((ENSEMBLE_TILE, out_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ENSEMBLE_TILE, 5 * nf), jnp.bfloat16)],
+        interpret=interpret,
+    )(
+        taps, stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
+        stacked["w3"], stacked["b3"], stacked["w4"], stacked["b4"],
+        stacked["w5"], stacked["b5"], stacked["w6"], stacked["b6"],
+    )
+    return out[:n]

@@ -114,31 +114,68 @@ class NetEvaluator:
     TILE_THRESHOLD = 96 * 96
     BAND = 16
 
-    def __init__(self, params: dict, *, stages: int, modes: str, scale: int):
+    def __init__(self, params: dict, *, stages: int, modes: str, scale: int,
+                 fast: bool = False):
+        """fast=True runs the tap-MLPs in bfloat16 with single-pass MXU
+        matmuls — ~0.01 dB below the f32 path, several times faster."""
         from ..models.srnet import srnets_predict, srnets_predict_tiled
 
         self.stages = stages
         self.modes = modes
         self.scale = scale
+        self.fast = fast
+        use_kernel = fast and jax.default_backend() == "tpu"
+        if fast:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), params
+            )
+            precision = jax.lax.Precision.DEFAULT
+        else:
+            precision = jax.lax.Precision.HIGHEST
         self.params = params
 
-        @jax.jit
-        def _run(x):
-            return srnets_predict(params, x, modes=modes, stages=stages,
-                                  scale=scale, phase="valid")
+        if use_kernel:
+            # the whole mode x rotation ensemble runs inside the Pallas
+            # stage-ensemble kernel — activations never touch HBM, so no
+            # band tiling is needed either
+            from ..models.srnet import srnets_predict_fast, stack_srnets_for_fast
 
-        @jax.jit
-        def _run_tiled(x):
-            return srnets_predict_tiled(params, x, modes=modes, stages=stages,
-                                        scale=scale, phase="valid",
-                                        band=self.BAND)
+            stacked = stack_srnets_for_fast(params, modes=modes,
+                                            stages=stages, scale=scale)
+
+            @jax.jit
+            def _run(x):
+                return srnets_predict_fast(
+                    stacked, x, modes=modes, stages=stages, scale=scale
+                ).astype(jnp.float32)
+
+            _run_tiled = _run
+        else:
+            @jax.jit
+            def _run(x):
+                if fast:
+                    x = x.astype(jnp.bfloat16)
+                out = srnets_predict(params, x, modes=modes, stages=stages,
+                                     scale=scale, phase="valid",
+                                     precision=precision)
+                return out.astype(jnp.float32)
+
+            @jax.jit
+            def _run_tiled(x):
+                if fast:
+                    x = x.astype(jnp.bfloat16)
+                out = srnets_predict_tiled(params, x, modes=modes,
+                                           stages=stages, scale=scale,
+                                           phase="valid", band=self.BAND,
+                                           precision=precision)
+                return out.astype(jnp.float32)
 
         self._run = _run
         self._run_tiled = _run_tiled
 
     @classmethod
     def from_checkpoint(cls, path: str, *, stages: int = 2, modes: str = "sdy",
-                        scale: int = 4):
+                        scale: int = 4, fast: bool = False):
         if path.endswith(".npz"):
             from ..models.torch_import import load_params_npz
 
@@ -147,7 +184,7 @@ class NetEvaluator:
             from ..models.torch_import import srnets_params_from_torch
 
             params = srnets_params_from_torch(path, modes=modes, stages=stages)
-        return cls(params, stages=stages, modes=modes, scale=scale)
+        return cls(params, stages=stages, modes=modes, scale=scale, fast=fast)
 
     def upscale(self, img_lr: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 LR -> (H*scale, W*scale, 3) uint8 SR."""

@@ -74,7 +74,8 @@ def run_benchmark(evaluator, bench_dir, datasets, *, yuv=False):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--lut_dir", required=True)
+    p.add_argument("--lut_dir", default=None,
+                   help="LUT folder (required unless --net is given)")
     p.add_argument("--input", type=str, default=None)
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--benchmark_dir", type=str, default=None)
@@ -88,13 +89,26 @@ if __name__ == "__main__":
     p.add_argument("--bucket", type=int, default=0,
                    help="pad eval shapes up to multiples of this (one compile "
                         "serves many image sizes; output unchanged)")
+    p.add_argument("--net", type=str, default=None, metavar="CKPT",
+                   help="deploy the trained network (Pallas bf16 kernel on "
+                        "TPU) from this checkpoint instead of LUT retrieval")
     p.add_argument("--results_json", type=str, default=None)
     args = p.parse_args()
 
-    ev = LutEvaluator.from_folder(
-        args.lut_dir, stages=args.stages, modes=args.modes, scale=args.scale,
-        lut_name=args.lut_name, bucket=args.bucket,
-    )
+    if args.net:
+        from mulut_tpu.pipelines.evaluate import NetEvaluator
+
+        ev = NetEvaluator.from_checkpoint(
+            args.net, stages=args.stages, modes=args.modes, scale=args.scale,
+            fast=True,
+        )
+    else:
+        if not args.lut_dir:
+            p.error("--lut_dir is required unless --net is given")
+        ev = LutEvaluator.from_folder(
+            args.lut_dir, stages=args.stages, modes=args.modes,
+            scale=args.scale, lut_name=args.lut_name, bucket=args.bucket,
+        )
     if args.input:
         img = load_image(args.input)
         sr = upscale_yuv(ev, img) if args.yuv else ev.upscale(img)
