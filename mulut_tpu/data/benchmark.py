@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 
 from ..utils.imgio import load_image
 from ..utils.metrics import modcrop

@@ -59,6 +59,12 @@ class DIV2K:
         lb = self.hr_ims[key]
         im = self.lr_ims[key]
 
+        if im.shape[0] < self.sz or im.shape[1] < self.sz:
+            raise ValueError(
+                f"LR image {key} is {im.shape[:2]}, smaller than the "
+                f"requested crop {self.sz} — lower --cropSize or use larger "
+                f"training images"
+            )
         i = int(rng.integers(0, im.shape[0] - self.sz + 1))
         j = int(rng.integers(0, im.shape[1] - self.sz + 1))
         c = int(rng.integers(0, 3))

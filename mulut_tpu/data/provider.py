@@ -35,7 +35,16 @@ class Provider:
 
     def _worker(self, ds: DIV2K) -> None:
         while not self._stop.is_set():
-            batch = ds.sample_batch(self.batch_size)
+            try:
+                batch = ds.sample_batch(self.batch_size)
+            except Exception as e:  # noqa: BLE001
+                # Propagate to the consumer: a silently-dead worker would
+                # leave next() blocked forever.
+                try:
+                    self.queue.put(e, timeout=1.0)
+                except queue.Full:
+                    pass
+                return
             try:
                 self.queue.put(batch, timeout=1.0)
             except queue.Full:
@@ -43,7 +52,10 @@ class Provider:
 
     def next(self):
         self.iteration += 1
-        return self.queue.get()
+        item = self.queue.get()
+        if isinstance(item, Exception):
+            raise RuntimeError("data worker failed") from item
+        return item
 
     def close(self) -> None:
         self._stop.set()

@@ -15,8 +15,6 @@ from ..ops.ensemble import lut_cascade_int  # noqa: F401  (re-export convenience
 from ..ops.simplex import (
     expand_weight,
     round_ste,
-    simplex_interp_diff,
-    simplex_planes_diff,
     simplex_planes_expanded_diff,
 )
 from ..ops.taps import lane_rotation_perm, mode_pad, rotated_taps

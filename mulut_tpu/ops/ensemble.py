@@ -19,14 +19,12 @@ into one (..., h, w, v) lane buffer; the spatial interleave to
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import simplex_tables
 from .simplex import (
     _interleave,
-    simplex_interp_int,
     simplex_planes_expanded_int,
     simplex_planes_int,
 )

@@ -3,14 +3,16 @@
 Two device paths, both branchless (see `simplex_tables` for how the
 reference's 24 masked-scatter branches become 64-entry decision tables):
 
-  * `simplex_interp_int`  — exact integer path for deployment-grade LUT
-    retrieval.  Bit-identical to the reference NumPy engine
-    (ref: sr/4_test_lut.py:14-237) but expressed as 5 gathers + a 5x5
-    integer mat-vec per pixel, which XLA/TPU vectorizes cleanly.
-  * `simplex_interp_diff` — differentiable float path for STE LUT
-    fine-tuning (ref: sr/model.py:69-287), gradients flow into the LUT
-    entries through the corner gathers and into the input through the
-    fractional weights.
+  * `simplex_planes_int` / `simplex_planes_expanded_int` — exact integer
+    paths for deployment-grade LUT retrieval, bit-identical to the
+    reference NumPy engine (ref: sr/4_test_lut.py:14-237).  Weights come
+    from a 5-comparator sorting network; the expanded variant folds the
+    five corner gathers into ONE gather of a pre-expanded int8 row (TPU
+    gathers cost fixed ns/row).
+  * `simplex_planes_diff` / `simplex_planes_expanded_diff` — differentiable
+    float paths for STE LUT fine-tuning (ref: sr/model.py:69-287);
+    gradients flow into the LUT entries through the corner gathers and
+    into the input through the fractional weights.
 
 Conventions: LUTs are flat (L**4, v) tables indexed a*L^3 + b*L^2 + c*L + d
 (ref: sr/model.py:128); images are (..., H, W) with values in [0, 255]; the
@@ -144,7 +146,6 @@ def _fraction_ranks(fa, fb, fc, fd):
     (ref: sr/4_test_lut.py:148-231) for every outcome of the six strict
     comparisons, including all tie patterns.
     """
-    one = jnp.int32(1)
     cab = (fa > fb).astype(jnp.int32)
     cac = (fa > fc).astype(jnp.int32)
     cad = (fa > fd).astype(jnp.int32)
@@ -154,8 +155,7 @@ def _fraction_ranks(fa, fb, fc, fd):
     rank_a = 3 - cab - cac - cad
     rank_b = 2 + cab - cbc - cbd
     rank_c = 1 + cac + cbc - ccd
-    rank_d = 0 + cad + cbd + ccd
-    del one
+    rank_d = cad + cbd + ccd
     return rank_a, rank_b, rank_c, rank_d
 
 

@@ -9,7 +9,6 @@ Also provides the single-image API surface of the fork's 5_test_lut.py
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -108,7 +108,10 @@ def finetune(opt) -> dict:
                         opt.cropSize)
     valid = SRBenchmark(opt.valDir, scale=opt.scale)
 
-    l_accum, dT, rT, accum_samples = 0.0, 0.0, 0.0, 0
+    # device-side loss accumulation, one sync per window (see train.py)
+    l_accum = jnp.zeros(())
+    dT, accum_samples = 0.0, 0
+    window_start = time.time()
     for i in range(opt.startIter + 1, opt.totalIter + 1):
         st = time.time()
         im, lb = provider.next()
@@ -118,22 +121,23 @@ def finetune(opt) -> dict:
             im, lb = jnp.asarray(im), jnp.asarray(lb)
         dT += time.time() - st
 
-        st = time.time()
         weights, opt_state, loss = step(weights, opt_state, im, lb)
-        loss.block_until_ready()
-        rT += time.time() - st
-
+        l_accum = l_accum + loss
         accum_samples += opt.batchSize
-        l_accum += float(loss)
 
         if i % opt.displayStep == 0:
+            avg_loss = float(l_accum) / opt.displayStep
+            wall = time.time() - window_start
             logger.info(
                 "{} | Iter:{:6d}, Sample:{:6d}, GPixel:{:.2e}, dT:{:.4f}, rT:{:.4f}".format(
-                    opt.expDir, i, accum_samples, l_accum / opt.displayStep,
-                    dT / opt.displayStep, rT / opt.displayStep
+                    opt.expDir, i, accum_samples, avg_loss,
+                    dT / opt.displayStep,
+                    (wall - dT) / opt.displayStep,
                 )
             )
-            l_accum, dT, rT = 0.0, 0.0, 0.0
+            l_accum = jnp.zeros(())
+            dT = 0.0
+            window_start = time.time()
 
         if i % opt.valStep == 0 or i == 1:
             valid_steps(weights, valid, opt, i, logger)

@@ -9,7 +9,6 @@ rounding, loss and log formats match the reference.
 
 from __future__ import annotations
 
-import functools
 import logging
 import math
 import os
@@ -159,10 +158,13 @@ def train(opt) -> dict:
                         opt.cropSize)
     valid = SRBenchmark(opt.valDir, scale=opt.scale)
 
-    l_accum = 0.0
-    dT = rT = 0.0
+    # Losses accumulate ON DEVICE and sync once per display window: a
+    # per-iteration float(loss) costs a host round-trip that can exceed the
+    # 62 ms step itself on remote-attached TPUs.
+    l_accum = jnp.zeros(())
+    dT = 0.0
+    window_start = time.time()
     accum_samples = 0
-    loss = None
     for i in range(opt.startIter + 1, opt.totalIter + 1):
         st = time.time()
         im, lb = provider.next()
@@ -172,23 +174,24 @@ def train(opt) -> dict:
             im, lb = jnp.asarray(im), jnp.asarray(lb)
         dT += time.time() - st
 
-        st = time.time()
         params, opt_state, loss = step(params, opt_state, im, lb)
-        loss.block_until_ready()
-        rT += time.time() - st
-
+        l_accum = l_accum + loss
         accum_samples += opt.batchSize
-        l_accum += float(loss)
 
         if i % opt.displayStep == 0:
+            avg_loss = float(l_accum) / opt.displayStep  # device sync point
+            wall = time.time() - window_start
             logger.info(
                 "{} | Iter:{:6d}, Sample:{:6d}, GPixel:{:.2e}, dT:{:.4f}, rT:{:.4f}".format(
-                    opt.expDir, i, accum_samples, l_accum / opt.displayStep,
-                    dT / opt.displayStep, rT / opt.displayStep
+                    opt.expDir, i, accum_samples, avg_loss,
+                    dT / opt.displayStep,
+                    (wall - dT) / opt.displayStep,
                 )
             )
-            writer.add_scalar("loss_Pixel", l_accum / opt.displayStep, i)
-            l_accum, dT, rT = 0.0, 0.0, 0.0
+            writer.add_scalar("loss_Pixel", avg_loss, i)
+            l_accum = jnp.zeros(())
+            dT = 0.0
+            window_start = time.time()
 
         if i % opt.saveStep == 0:
             path = os.path.join(opt.expDir, f"Model_{i:06d}.npz")

@@ -68,7 +68,7 @@ def test_expanded_cascade_matches_base(rng):
     np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("mode", ["s", "d", "y"])
+@pytest.mark.parametrize("mode", ["s", "d", "y", "e", "h", "o"])
 def test_expanded_rotation_ensemble(mode, rng):
     lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, 16)), jnp.int32)
     eluts = prepare_expanded_luts({"k": lut})
