@@ -53,7 +53,12 @@ class DIV2K:
         np.save(cache_path, ims, allow_pickle=True)
 
     def sample_patch(self):
-        """One (im, lb) pair: (1, sz, sz) and (1, sz*scale, sz*scale) float32/255."""
+        """One (im, lb) pair: (1, sz, sz) and (1, sz*scale, sz*scale) uint8.
+
+        Returned as uint8 — the training step normalizes to float32/255 ON
+        DEVICE (ref semantics: sr/data.py:118-121), which quarters the
+        host-to-device transfer.
+        """
         rng = self.rng
         key = self.file_list[int(rng.integers(len(self.file_list)))]
         lb = self.hr_ims[key]
@@ -81,9 +86,7 @@ class DIV2K:
             k = int(rng.integers(0, 4))
             lb, im = np.rot90(lb, k), np.rot90(im, k)
 
-        lb = lb.astype(np.float32)[None] / 255.0
-        im = im.astype(np.float32)[None] / 255.0
-        return im, lb
+        return np.ascontiguousarray(im)[None], np.ascontiguousarray(lb)[None]
 
     def sample_batch(self, batch_size: int):
         ims, lbs = zip(*(self.sample_patch() for _ in range(batch_size)))

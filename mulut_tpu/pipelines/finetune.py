@@ -32,6 +32,9 @@ def make_finetune_step(optimizer, *, modes: str, stages: int, upscale: int,
                        interval: int):
     @jax.jit
     def step(weights, opt_state, im, lb):
+        im = im.astype(jnp.float32) / 255.0
+        lb = lb.astype(jnp.float32) / 255.0
+
         def loss_fn(w):
             pred = lut_model_forward(w, im, modes=modes, stages=stages,
                                      upscale=upscale, interval=interval)

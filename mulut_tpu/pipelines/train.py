@@ -55,6 +55,10 @@ def make_optimizer(lr0: float, lr1: float, total_iter: int, weight_decay: float 
 def make_train_step(optimizer, *, modes: str, stages: int, scale: int):
     @jax.jit
     def step(params, opt_state, im, lb):
+        # batches arrive uint8; normalize on device (4x less H2D traffic)
+        im = im.astype(jnp.float32) / 255.0
+        lb = lb.astype(jnp.float32) / 255.0
+
         def loss_fn(p):
             pred = srnets_predict(p, im, modes=modes, stages=stages,
                                   scale=scale, phase="train")

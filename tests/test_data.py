@@ -1,0 +1,62 @@
+"""Data-layer tests: LR pyramid generator, DIV2K sampler, provider."""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from mulut_tpu.data.degrade import bicubic_lr, generate_lr_pyramid
+from mulut_tpu.data.div2k import DIV2K
+from mulut_tpu.data.provider import Provider
+
+
+def _write_images(d, n=3, size=64):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        ).save(os.path.join(d, f"{i:04d}.png"))
+
+
+def test_generate_lr_pyramid(tmp_path):
+    hr = str(tmp_path / "HR")
+    out = str(tmp_path / "LR_bicubic")
+    _write_images(hr, n=3, size=65)  # odd size exercises modcrop
+    n = generate_lr_pyramid(hr, out, scales=(2, 4), workers=2)
+    assert n == 3
+    for s in (2, 4):
+        files = sorted(os.listdir(os.path.join(out, f"X{s}")))
+        assert len(files) == 3
+        lr = np.array(Image.open(os.path.join(out, f"X{s}", files[0])))
+        assert lr.shape == (64 // s, 64 // s, 3)
+
+
+def test_bicubic_matches_pil(tmp_path):
+    rng = np.random.default_rng(1)
+    hr = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    lr = bicubic_lr(hr, 4)
+    want = np.array(
+        Image.fromarray(hr).resize((12, 8), Image.BICUBIC)
+    )
+    np.testing.assert_array_equal(lr, want)
+
+
+def test_div2k_sampler_semantics(tmp_path):
+    root = str(tmp_path / "DIV2K")
+    _write_images(os.path.join(root, "HR"), n=2, size=64)
+    os.makedirs(os.path.join(root, "LR", "X4"))
+    for i in range(2):
+        hr = np.array(Image.open(os.path.join(root, "HR", f"{i:04d}.png")))
+        Image.fromarray(bicubic_lr(hr, 4)).save(
+            os.path.join(root, "LR", "X4", f"{i:04d}x4.png")
+        )
+    ds = DIV2K(4, root, patch_size=8)
+    im, lb = ds.sample_batch(4)
+    assert im.shape == (4, 1, 8, 8) and im.dtype == np.uint8
+    assert lb.shape == (4, 1, 32, 32) and lb.dtype == np.uint8
+
+    p = Provider(2, 1, 4, root, 8)
+    b_im, b_lb = p.next()
+    assert b_im.shape == (2, 1, 8, 8)
+    p.close()
