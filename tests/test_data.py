@@ -60,3 +60,31 @@ def test_div2k_sampler_semantics(tmp_path):
     b_im, b_lb = p.next()
     assert b_im.shape == (2, 1, 8, 8)
     p.close()
+
+
+def test_srbenchmark_loader(tmp_path):
+    """HR/LR preload, grayscale->3ch, shape assertion, missing-set skip."""
+    from mulut_tpu.data.benchmark import SRBenchmark
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(2)
+    os.makedirs(os.path.join(root, "Set5", "HR"))
+    os.makedirs(os.path.join(root, "Set5", "LR_bicubic", "X4"))
+    # one RGB and one grayscale image, HR 33x34 (modcrop -> 32x32)
+    for name, gray in (("a", False), ("b", True)):
+        hr = rng.integers(0, 256, (33, 34) if gray else (33, 34, 3),
+                          dtype=np.uint8)
+        Image.fromarray(hr).save(os.path.join(root, "Set5", "HR", f"{name}.png"))
+        lr = rng.integers(0, 256, (8, 8) if gray else (8, 8, 3),
+                          dtype=np.uint8)
+        Image.fromarray(lr).save(
+            os.path.join(root, "Set5", "LR_bicubic", "X4", f"{name}.png")
+        )
+
+    bench = SRBenchmark(root, scale=4)
+    assert bench.datasets == ["Set5"]  # Set14 etc. missing -> skipped
+    pairs = list(bench.pairs("Set5"))
+    assert len(pairs) == 2
+    for name, lr, hr in pairs:
+        assert hr.shape == (32, 32, 3)  # modcropped, 3-channel
+        assert lr.shape == (8, 8, 3)
