@@ -24,6 +24,7 @@ class Provider:
         self.batch_size = batch_size
         self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        self._failure: Exception | None = None
         self.iteration = 0
         self._workers = []
         num_workers = max(1, num_workers)
@@ -39,11 +40,15 @@ class Provider:
                 batch = ds.sample_batch(self.batch_size)
             except Exception as e:  # noqa: BLE001
                 # Propagate to the consumer: a silently-dead worker would
-                # leave next() blocked forever.
-                try:
-                    self.queue.put(e, timeout=1.0)
-                except queue.Full:
-                    pass
+                # leave next() blocked forever.  The put MUST be retried —
+                # dropping it when the queue happens to be full re-creates
+                # the deadlock once the consumer drains the stale batches.
+                while not self._stop.is_set():
+                    try:
+                        self.queue.put(e, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
                 return
             try:
                 self.queue.put(batch, timeout=1.0)
@@ -51,9 +56,12 @@ class Provider:
                 continue
 
     def next(self):
+        if self._failure is not None:
+            raise RuntimeError("data worker failed") from self._failure
         self.iteration += 1
         item = self.queue.get()
         if isinstance(item, Exception):
+            self._failure = item
             raise RuntimeError("data worker failed") from item
         return item
 

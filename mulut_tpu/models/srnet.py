@@ -233,7 +233,7 @@ def srnets_predict_tiled(params: dict, x, *, modes: str, stages: int,
                          scale: int, phase: str = "valid", band: int = 32,
                          halo: int = 4,
                          precision=jax.lax.Precision.HIGHEST,
-                         unit_impl: str = "xla"):
+                         unit_impl: str = "xla", axis: int = 2):
     """Band-tiled cascade forward for large images.
 
     The full-resolution tap-MLP cascade materializes (4 rot x B x C x H x W,
@@ -249,7 +249,9 @@ def srnets_predict_tiled(params: dict, x, *, modes: str, stages: int,
     Returns:
       (B, C, H*scale, W*scale) like `srnets_predict(..., phase=phase)`.
     """
-    B, C, H, W = x.shape
+    B, C = x.shape[:2]
+    H = x.shape[axis]  # the tiled spatial axis (2 = rows, 3 = columns —
+    # column banding serves short-but-wide images the row path can't)
     slab_h = band + 2 * halo
     assert H >= slab_h, (H, band, halo)
     n_bands = -(-H // band)
@@ -265,18 +267,20 @@ def srnets_predict_tiled(params: dict, x, *, modes: str, stages: int,
     def one_band(i, out_buf):
         kept0 = jnp.minimum(i * band, H - band)
         start = jnp.clip(kept0 - halo, 0, H - slab_h)
-        slab = jax.lax.dynamic_slice_in_dim(x, start, slab_h, axis=2)
+        slab = jax.lax.dynamic_slice_in_dim(x, start, slab_h, axis=axis)
         out = srnets_predict(params, slab, modes=modes, stages=stages,
                              scale=scale, phase=phase, precision=precision,
                              unit_impl=unit_impl)
         out = jax.lax.dynamic_slice_in_dim(
-            out, (kept0 - start) * scale, band * scale, axis=2
+            out, (kept0 - start) * scale, band * scale, axis=axis
         )
         return jax.lax.dynamic_update_slice_in_dim(
-            out_buf, out.astype(out_buf.dtype), kept0 * scale, axis=2
+            out_buf, out.astype(out_buf.dtype), kept0 * scale, axis=axis
         )
 
-    out_buf = jnp.zeros((B, C, H * scale, W * scale), jnp.float32)
+    out_buf = jnp.zeros(
+        (B, C, x.shape[2] * scale, x.shape[3] * scale), jnp.float32
+    )
     return jax.lax.fori_loop(0, n_bands, one_band, out_buf)
 
 

@@ -9,6 +9,7 @@ Also provides the single-image API surface of the fork's 5_test_lut.py
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -148,7 +149,7 @@ class NetEvaluator:
                     stacked, x, modes=modes, stages=stages, scale=scale
                 ).astype(jnp.float32)
 
-            _run_tiled = _run
+            _run_tiled = lambda x, axis=2: _run(x)  # noqa: E731
         else:
             @jax.jit
             def _run(x):
@@ -159,14 +160,14 @@ class NetEvaluator:
                                      precision=precision)
                 return out.astype(jnp.float32)
 
-            @jax.jit
-            def _run_tiled(x):
+            @functools.partial(jax.jit, static_argnames=("axis",))
+            def _run_tiled(x, axis=2):
                 if fast:
                     x = x.astype(jnp.bfloat16)
                 out = srnets_predict_tiled(params, x, modes=modes,
                                            stages=stages, scale=scale,
                                            phase="valid", band=self.BAND,
-                                           precision=precision)
+                                           precision=precision, axis=axis)
                 return out.astype(jnp.float32)
 
         self._run = _run
@@ -191,10 +192,15 @@ class NetEvaluator:
             img_lr.astype(np.float32).transpose(2, 0, 1)[None] / 255.0
         )
         h, w = img_lr.shape[:2]
-        run = (self._run_tiled
-               if h * w > self.TILE_THRESHOLD and h >= self.BAND + 8
-               else self._run)
-        out = np.asarray(run(x))[0].transpose(1, 2, 0)
+        # Band along whichever spatial axis is long enough (a short-but-wide
+        # image must still tile, or the untiled cascade can exhaust HBM).
+        min_dim = self.BAND + 8
+        if h * w > self.TILE_THRESHOLD and max(h, w) >= min_dim:
+            axis = 2 if h >= min_dim else 3
+            out = np.asarray(self._run_tiled(x, axis=axis))
+        else:
+            out = np.asarray(self._run(x))
+        out = out[0].transpose(1, 2, 0)
         return np.round(np.clip(out, 0, 255)).astype(np.uint8)
 
 

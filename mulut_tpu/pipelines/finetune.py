@@ -23,7 +23,7 @@ from ..models.lut_model import (
 )
 from ..utils.imgio import save_image
 from ..utils.logging_utils import logger_info
-from ..utils.lut_io import lut_filename
+from ..utils.lut_io import lut_filename, parse_stage_key
 from ..utils.metrics import psnr, rgb2ycbcr, ssim
 from .train import make_optimizer
 
@@ -149,10 +149,10 @@ def finetune(opt) -> dict:
 
     luts_i8 = export_lut_weights(weights)
     for key, arr in luts_i8.items():
-        stage, mode = key[1], key[3]
+        stage, mode = parse_stage_key(key)
         path = os.path.join(
             opt.expDir,
-            lut_filename("LUT_ft", opt.scale, opt.interval, int(stage), mode),
+            lut_filename("LUT_ft", opt.scale, opt.interval, stage, mode),
         )
         np.save(path, arr)
     logger.info(f"Finetuned LUT saved to {opt.expDir}")

@@ -230,7 +230,7 @@ class Pipeline:
 
         def _step_transfer():
             from ..models.torch_import import load_params_npz
-            from ..utils.lut_io import lut_filename
+            from ..utils.lut_io import lut_filename, parse_stage_key
 
             ckpts = sorted(glob.glob(os.path.join(cfg.exp_dir, "Model_*.npz")))
             params = load_params_npz(ckpts[-1])
@@ -238,7 +238,7 @@ class Pipeline:
                 params, modes=cfg.modes, stages=cfg.stages, interval=cfg.interval
             )
             for key, arr in luts.items():
-                stage, mode = int(key[1]), key[3]
+                stage, mode = parse_stage_key(key)
                 np.save(
                     os.path.join(
                         cfg.exp_dir,
@@ -289,7 +289,7 @@ class Analyzer:
         for log in glob.glob(os.path.join(self.cfg.exp_dir, "*.log")):
             for line in open(log, errors="ignore"):
                 m = re.search(
-                    r"Dataset\s+(\S+)\s*\|\s*AVG\s+(?:Val\s+)?PSNR:\s*([0-9.]+)",
+                    r"Dataset\s+(\S+)\s*\|\s*AVG\s+(?:Val\s+|LUT\s+)?PSNR:\s*([0-9.]+)",
                     line,
                 )
                 if m:

@@ -15,6 +15,29 @@ import shutil
 from pathlib import Path
 
 
+# Trees we must never write side-car artifacts into, even when an expDir
+# points inside them (e.g. evaluating directly against the read-only
+# reference models with `-e /root/reference/models/...`).  Checkpoints and
+# results the USER explicitly asks for still go where they said; this guard
+# only covers the implicit snapshots (code/, opt.*, val/).
+PROTECTED_ROOTS = tuple(
+    p
+    for p in os.environ.get("MULUT_PROTECTED_ROOTS", "/root/reference").split(
+        os.pathsep
+    )
+    if p
+)
+
+
+def _in_protected_tree(path: str) -> bool:
+    real = os.path.realpath(path)
+    for root in PROTECTED_ROOTS:
+        root = os.path.realpath(root)
+        if real == root or real.startswith(root + os.sep):
+            return True
+    return False
+
+
 class BaseOptions:
     isTrain = False
 
@@ -99,6 +122,8 @@ class BaseOptions:
         common/option.py:104-110)."""
         import mulut_tpu
 
+        if _in_protected_tree(self.opt.expDir):
+            return
         src_dir = os.path.dirname(os.path.abspath(mulut_tpu.__file__))
         trg_dir = os.path.join(self.opt.expDir, "code")
         for f in Path(src_dir).rglob("*.py"):
@@ -120,15 +145,16 @@ class BaseOptions:
                 count += 1
             opt.expDir = os.path.join(opt.modelDir, f"expr_{count}")
             os.mkdir(opt.expDir)
-        else:
+        elif not _in_protected_tree(opt.expDir):
             os.makedirs(opt.expDir, exist_ok=True)
 
         opt.modelPath = os.path.join(opt.expDir, "Model.pth")
 
         if opt.isTrain:
             opt.valoutDir = os.path.join(opt.expDir, "val")
-            os.makedirs(opt.valoutDir, exist_ok=True)
-            self.save_options(opt)
+            if not _in_protected_tree(opt.expDir):
+                os.makedirs(opt.valoutDir, exist_ok=True)
+                self.save_options(opt)
 
         if opt.isTrain and opt.debug:
             opt.displayStep = 10

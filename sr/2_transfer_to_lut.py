@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 from mulut_tpu.pipelines.transfer import transfer_to_luts
-from mulut_tpu.utils.lut_io import lut_filename
+from mulut_tpu.utils.lut_io import lut_filename, parse_stage_key
 from mulut_tpu.utils.options import TestOptions
 
 if __name__ == "__main__":
@@ -36,7 +36,7 @@ if __name__ == "__main__":
     luts = transfer_to_luts(params, modes=opt.modes, stages=opt.stages,
                             interval=opt.interval)
     for key, arr in luts.items():
-        stage, mode = int(key[1]), key[3]
+        stage, mode = parse_stage_key(key)
         lut_path = os.path.join(
             opt.expDir, lut_filename("LUT", opt.scale, opt.interval, stage, mode)
         )

@@ -33,11 +33,14 @@ def upscale_yuv(evaluator, img):
 
     scale = evaluator.scale
     ycc = rgb2ycbcr(img)
-    y = np.repeat(ycc[:, :, :1], 3, axis=2).astype(np.uint8)
+    y = np.repeat(ycc[:, :, :1], 3, axis=2)
+    y = np.round(y).clip(0, 255).astype(np.uint8)
     y_sr = evaluator.upscale(y)[:, :, 0]
     h, w = img.shape[:2]
     cbcr = np.array(
-        Image.fromarray(ycc[:, :, 1:].astype(np.uint8)).resize(
+        Image.fromarray(
+            np.round(ycc[:, :, 1:]).clip(0, 255).astype(np.uint8)
+        ).resize(
             (w * scale, h * scale), Image.BICUBIC
         )
     )

@@ -62,6 +62,51 @@ def test_div2k_sampler_semantics(tmp_path):
     p.close()
 
 
+def test_provider_worker_death_under_full_queue(tmp_path):
+    """A worker that dies while the prefetch queue is FULL must still get its
+    exception through to the consumer — next() raises promptly instead of
+    blocking forever once the stale batches drain."""
+    import time
+
+    import pytest
+
+    root = str(tmp_path / "DIV2K")
+    _write_images(os.path.join(root, "HR"), n=1, size=64)
+    os.makedirs(os.path.join(root, "LR", "X4"))
+    hr = np.array(Image.open(os.path.join(root, "HR", "0000.png")))
+    Image.fromarray(bicubic_lr(hr, 4)).save(
+        os.path.join(root, "LR", "X4", "0000x4.png")
+    )
+
+    p = Provider(2, 1, 4, root, 8, prefetch=2)
+    # let the single worker fill the queue, then make sampling blow up
+    deadline = time.time() + 5.0
+    while not p.queue.full() and time.time() < deadline:
+        time.sleep(0.01)
+    assert p.queue.full()
+
+    def boom(self, *a):
+        raise ValueError("injected worker failure")
+
+    # Poison sampling on the class: the worker (currently blocked on the
+    # full queue) raises on its NEXT sample, while the queue is full again.
+    orig = DIV2K.sample_batch
+    DIV2K.sample_batch = boom
+    try:
+        # queue currently full; worker's next sample raises while full
+        p.next()  # drain one -> worker wakes, samples, raises, retries put
+        with pytest.raises(RuntimeError, match="data worker failed"):
+            # at most `prefetch` stale batches remain before the exception
+            for _ in range(4):
+                p.next()
+        # sticky: later calls fail fast too instead of blocking
+        with pytest.raises(RuntimeError, match="data worker failed"):
+            p.next()
+    finally:
+        DIV2K.sample_batch = orig
+        p.close()
+
+
 def test_srbenchmark_loader(tmp_path):
     """HR/LR preload, grayscale->3ch, shape assertion, missing-set skip."""
     from mulut_tpu.data.benchmark import SRBenchmark

@@ -40,6 +40,56 @@ def test_auto_numbered_exp_dir(tmp_path, monkeypatch):
     assert opt2.expDir.endswith("expr_2")
 
 
+def test_protected_tree_never_written(tmp_path, monkeypatch):
+    """Parsing with an expDir inside a protected tree (e.g. the read-only
+    reference checkout) must not write code/opt/val snapshots there."""
+    from mulut_tpu.utils import options as O
+
+    protected = tmp_path / "reference" / "models" / "sr_x2sdy"
+    os.makedirs(protected)
+    monkeypatch.setattr(
+        O, "PROTECTED_ROOTS", (str(tmp_path / "reference"),)
+    )
+
+    O.TestOptions().parse(["-e", str(protected)])
+    assert os.listdir(protected) == []  # no code/ snapshot
+
+    O.TrainOptions().parse(["-e", str(protected)])
+    assert os.listdir(protected) == []  # no opt.*, no val/
+
+    # a normal expDir still gets the snapshot
+    normal = tmp_path / "exp"
+    O.TestOptions().parse(["-e", str(normal)])
+    assert os.path.isdir(normal / "code")
+
+
+def test_parse_stage_key():
+    import pytest
+
+    from mulut_tpu.utils.lut_io import parse_stage_key
+
+    assert parse_stage_key("s1_s") == (1, "s")
+    assert parse_stage_key("s12_y") == (12, "y")  # stages >= 10
+    with pytest.raises(ValueError):
+        parse_stage_key("weight_s1_s")
+
+
+def test_lut_io_accepts_both_bit_labels(tmp_path):
+    """interval != 4: the producer writes {interval}bit, the reference
+    consumer looks for {8-interval}bit — load_luts must find either."""
+    from mulut_tpu.utils.lut_io import load_luts, save_lut
+
+    rng = np.random.default_rng(0)
+    L = 2 ** (8 - 3) + 1
+    for s, v in ((1, 1), (2, 4)):
+        save_lut(str(tmp_path), rng.integers(-127, 128, (L ** 4, v)),
+                 name="LUT", scale=2, interval=3, stage=s, mode="s")
+    luts = load_luts(str(tmp_path), stages=2, modes="s", scale=2, interval=3,
+                     name="LUT")
+    assert luts["s1_s"].shape == (L ** 4, 1)
+    assert luts["s2_s"].shape == (L ** 4, 4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mulut_tpu.models.srnet import init_srnets
     from mulut_tpu.models.torch_import import load_params_npz, save_params_npz

@@ -22,3 +22,17 @@ def test_tiled_equals_untiled(rng):
         b = np.asarray(srnets_predict_tiled(params, x, modes="sdy", stages=2,
                                             scale=4, phase="valid", band=band))
         np.testing.assert_allclose(a, b, atol=1e-4, err_msg=str((hw, band)))
+
+
+def test_column_tiled_equals_untiled(rng):
+    """A short-but-wide image tiles along columns (axis=3) and still matches
+    the untiled forward exactly."""
+    params = init_srnets(jax.random.PRNGKey(0), nf=4, scale=4, modes="sdy",
+                         stages=2)
+    x = jnp.asarray(rng.random((1, 1, 10, 41)).astype(np.float32))
+    a = np.asarray(srnets_predict(params, x, modes="sdy", stages=2,
+                                  scale=4, phase="valid"))
+    b = np.asarray(srnets_predict_tiled(params, x, modes="sdy", stages=2,
+                                        scale=4, phase="valid", band=8,
+                                        axis=3))
+    np.testing.assert_allclose(a, b, atol=1e-4)
