@@ -98,3 +98,37 @@ def load_params_npz(path: str) -> dict:
         unit_key, name = k.split("/")
         params.setdefault(unit_key, {})[name] = jnp.asarray(flat[k])
     return params
+
+
+def save_opt_state_npz(path: str, opt_state) -> None:
+    """Persist an optax optimizer state (any pytree of arrays).
+
+    Completes the reference's abandoned intent — its optimizer save is
+    commented out (ref: sr/1_train_model.py:65-66) and its resume is broken
+    (ref: sr/1_train_model.py:157-164) — so a resumed run here keeps the
+    Adam moments AND the step counts that drive the cosine-LR phase.
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(a) for i, a in enumerate(leaves)})
+
+
+def load_opt_state_npz(path: str, template):
+    """Restore an optimizer state saved by `save_opt_state_npz`.
+
+    `template` is a freshly-initialized state from the SAME optimizer
+    config (e.g. `optimizer.init(params)`) — it supplies the treedef; the
+    file supplies the leaves.
+    """
+    import jax
+
+    flat = np.load(path)
+    treedef = jax.tree_util.tree_structure(template)
+    n = treedef.num_leaves
+    assert len(flat.files) == n, (
+        f"optimizer-state leaf count mismatch: file has {len(flat.files)}, "
+        f"optimizer expects {n} — was the optimizer config changed?"
+    )
+    leaves = [jnp.asarray(flat[f"leaf_{i}"]) for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

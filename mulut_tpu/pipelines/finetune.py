@@ -7,6 +7,7 @@ re-export.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import time
@@ -50,14 +51,23 @@ def make_finetune_step(optimizer, *, modes: str, stages: int, upscale: int,
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _valid_fwd(modes: str, stages: int, upscale: int, interval: int):
+    # weights as an ARGUMENT: a closure would re-trace every validation round
+    @jax.jit
+    def fwd(weights, x):
+        return lut_model_forward(weights, x, modes=modes, stages=stages,
+                                 upscale=upscale, interval=interval)
+
+    return fwd
+
+
 def valid_steps(weights, valid: SRBenchmark, opt, it: int, logger):
     """PSNR + SSIM validation (ref: sr/3_finetune_lut.py:23-65)."""
     datasets = ["Set5", "Set14"] if opt.debug else valid.datasets
 
-    @jax.jit
-    def fwd(x):
-        return lut_model_forward(weights, x, modes=opt.modes, stages=opt.stages,
-                                 upscale=opt.scale, interval=opt.interval)
+    jfwd = _valid_fwd(opt.modes, opt.stages, opt.scale, opt.interval)
+    fwd = lambda x: jfwd(weights, x)  # noqa: E731
 
     for dataset in datasets:
         if dataset not in valid.files:
@@ -90,6 +100,14 @@ def finetune(opt) -> dict:
         opt.expDir, stages=opt.stages, modes=opt.modes, upscale=opt.scale,
         interval=opt.interval
     )
+    if opt.startIter > 0:
+        # Fixed resume (the reference's two-positional-arg torch.load never
+        # worked, ref: sr/3_finetune_lut.py:98-104): restore the float LUT
+        # weights; the optimizer state follows below once it exists.
+        wpath = os.path.join(opt.expDir, f"LUTft_{opt.startIter:06d}.npz")
+        flat = np.load(wpath)
+        weights = {k: jnp.asarray(flat[k]) for k in flat.files}
+        logger.info(f"Resumed LUT weights from {wpath}")
 
     n_dev = (min(opt.gpuNum, jax.device_count())
              if getattr(opt, "gpuNum", 1) > 1 else 1)
@@ -101,6 +119,13 @@ def finetune(opt) -> dict:
 
     optimizer = make_optimizer(opt.lr0, opt.lr1, opt.totalIter, opt.weightDecay)
     opt_state = optimizer.init(weights)
+    if opt.startIter > 0:
+        from ..models.torch_import import load_opt_state_npz
+
+        opt_ckpt = os.path.join(opt.expDir, f"Opt_ft_{opt.startIter:06d}.npz")
+        if os.path.exists(opt_ckpt):
+            opt_state = load_opt_state_npz(opt_ckpt, opt_state)
+            logger.info(f"Resumed optimizer state from {opt_ckpt}")
     if mesh is not None:
         weights = replicate_tree(mesh, weights)
         opt_state = replicate_tree(mesh, opt_state)
@@ -144,6 +169,19 @@ def finetune(opt) -> dict:
 
         if i % opt.valStep == 0 or i == 1:
             valid_steps(weights, valid, opt, i, logger)
+
+        if i % opt.saveStep == 0:
+            from ..models.torch_import import save_opt_state_npz
+
+            np.savez(
+                os.path.join(opt.expDir, f"LUTft_{i:06d}.npz"),
+                **{k: np.asarray(v) for k, v in weights.items()},
+            )
+            save_opt_state_npz(
+                os.path.join(opt.expDir, f"Opt_ft_{i:06d}.npz"),
+                jax.device_get(opt_state),
+            )
+            logger.info(f"Checkpoint saved {i}")
 
     provider.close()
 

@@ -9,6 +9,7 @@ rounding, loss and log formats match the reference.
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 import os
@@ -21,7 +22,12 @@ import optax
 
 from ..data import Provider, SRBenchmark
 from ..models.srnet import init_srnets, srnets_predict
-from ..models.torch_import import load_params_npz, save_params_npz
+from ..models.torch_import import (
+    load_opt_state_npz,
+    load_params_npz,
+    save_opt_state_npz,
+    save_params_npz,
+)
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ..utils.imgio import save_image
 from ..utils.logging_utils import logger_info
@@ -93,17 +99,29 @@ def make_summary_writer(log_dir: str):
         return _Null()
 
 
+@functools.lru_cache(maxsize=None)
+def _valid_fwd(modes: str, stages: int, scale: int):
+    # One jit cache per model config, with params as an ARGUMENT: a closure
+    # capturing params would re-trace every validation round (per image
+    # shape, every valStep of a 200k-iter run).
+    @jax.jit
+    def fwd(params, x):
+        return srnets_predict(params, x, modes=modes, stages=stages,
+                              scale=scale, phase="valid")
+
+    return fwd
+
+
 def valid_steps(params, valid: SRBenchmark, opt, it: int, logger,
                 predict_fn=None, writer=None):
     """Benchmark validation with PNG dumps (ref: sr/1_train_model.py:70-119)."""
     datasets = ["Set5"] if opt.debug else valid.datasets
 
-    @jax.jit
-    def fwd(x):
-        return srnets_predict(params, x, modes=opt.modes, stages=opt.stages,
-                              scale=opt.scale, phase="valid")
-
-    fwd = predict_fn or fwd
+    if predict_fn is None:
+        jfwd = _valid_fwd(opt.modes, opt.stages, opt.scale)
+        fwd = lambda x: jfwd(params, x)  # noqa: E731
+    else:
+        fwd = predict_fn
     for dataset in datasets:
         if dataset not in valid.files:
             continue
@@ -145,13 +163,26 @@ def train(opt) -> dict:
 
     params = init_srnets(jax.random.PRNGKey(0), nf=opt.nf, scale=opt.scale,
                          modes=opt.modes, stages=opt.stages)
+    optimizer = make_optimizer(opt.lr0, opt.lr1, opt.totalIter, opt.weightDecay)
     if opt.startIter > 0:
         ckpt = os.path.join(opt.expDir, f"Model_{opt.startIter:06d}.npz")
         params = load_params_npz(ckpt)
-        logger.info(f"Resumed params from {ckpt}")
-
-    optimizer = make_optimizer(opt.lr0, opt.lr1, opt.totalIter, opt.weightDecay)
-    opt_state = optimizer.init(params)
+        opt_state = optimizer.init(params)
+        opt_ckpt = os.path.join(opt.expDir, f"Opt_{opt.startIter:06d}.npz")
+        if os.path.exists(opt_ckpt):
+            # Full resume: Adam moments + the step counts that drive the
+            # cosine-LR phase — a resumed run follows the same trajectory
+            # as an uninterrupted one (the reference intended but never
+            # shipped this, ref: sr/1_train_model.py:65-66, 157-164).
+            opt_state = load_opt_state_npz(opt_ckpt, opt_state)
+            logger.info(f"Resumed params+optimizer from iter {opt.startIter}")
+        else:
+            logger.info(
+                f"Resumed params from {ckpt} (no Opt_*.npz — optimizer "
+                "state re-initialized; trajectory will differ)"
+            )
+    else:
+        opt_state = optimizer.init(params)
     if mesh is not None:
         params = replicate_tree(mesh, params)
         opt_state = replicate_tree(mesh, opt_state)
@@ -200,6 +231,10 @@ def train(opt) -> dict:
         if i % opt.saveStep == 0:
             path = os.path.join(opt.expDir, f"Model_{i:06d}.npz")
             save_params_npz(path, jax.device_get(params))
+            save_opt_state_npz(
+                os.path.join(opt.expDir, f"Opt_{i:06d}.npz"),
+                jax.device_get(opt_state),
+            )
             logger.info(f"Checkpoint saved {i}")
 
         if i % opt.valStep == 0:
