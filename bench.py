@@ -59,20 +59,23 @@ def main():
         rng.integers(0, 256, (B, 3, H, W), dtype=np.int64), jnp.int32
     )
 
+    # Tables ride as jit ARGUMENTS (device buffers), not closure constants —
+    # baked-in constants of this size blow remote-compile request limits.
     @jax.jit
-    def run(x):
+    def run(tabs, x):
         return lut_cascade_int(
-            eluts, x, stages=stages, modes=modes, scale=scale,
+            tabs, x, stages=stages, modes=modes, scale=scale,
             interval=interval, expanded=True,
         )
 
-    np.asarray(run(img)[0, 0, 0, :4])  # compile + warm + real sync
+    eluts = jax.device_put(eluts)
+    np.asarray(run(eluts, img)[0, 0, 0, :4])  # compile + warm + real sync
 
     def wall(k):
         t0 = time.perf_counter()
         out = None
         for _ in range(k):
-            out = run(img)
+            out = run(eluts, img)
         np.asarray(out[0, 0, 0, :4])  # device-to-host forces full drain
         return time.perf_counter() - t0
 

@@ -26,9 +26,18 @@ from . import simplex_tables
 from .simplex import (
     _interleave,
     simplex_planes_expanded_int,
+    simplex_planes_folded_int,
     simplex_planes_int,
+    simplex_planes_quad_int,
 )
-from .taps import lane_rotation_perm, mode_pad, rotated_taps
+from .taps import (
+    TAPS,
+    fold_geometry,
+    lane_rotation_perm,
+    mode_pad,
+    mode_taps,
+    rotated_taps,
+)
 
 
 def round_half_even_div(n, d: int):
@@ -96,26 +105,114 @@ def rotation_ensemble_lanes_int(lut, img, *, mode: str, upscale: int,
     return acc
 
 
-def prepare_expanded_luts(luts: dict, *, interval: int = 4) -> dict:
-    """Host-side: int8 corner-expanded device tables.
+def rotation_ensemble_lanes_quad_int(lut, img, *, mode: str, upscale: int,
+                                     interval: int, kernel: bool = False):
+    """4-rotation ensemble of a non-symmetric mode, single fused contraction.
 
-    v == 1 tables become (L**4, 16); multi-lane tables become
-    (4, L**4, 16*v) with rotation r's copy carrying the output-lane
-    un-rotation permutation pre-applied (a per-pixel lane shuffle costs
-    ~3.4 ms/rotation at 1080p on a v5e — pre-baking it into 4 table copies
-    trades ~256 MB of HBM for zero runtime cost).
+    Same semantics as `rotation_ensemble_lanes_int(expanded=True)` for y/h/o
+    tables; the four per-rotation gathers feed one stacked contraction (see
+    `simplex.simplex_planes_quad_int`).
+    """
+    pad = mode_pad(mode)
+    xp = _pad_all(img, pad)
+    h = img.shape[-2]
+    w = img.shape[-1]
+    planes4 = [
+        [
+            xp[..., pad + dy : pad + dy + h, pad + dx : pad + dx + w]
+            for dy, dx in rotated_taps(mode, r)
+        ]
+        for r in range(4)
+    ]
+    luts4 = lut if lut.ndim == 3 else [lut] * 4
+    return simplex_planes_quad_int(
+        luts4, planes4, v=upscale * upscale, interval=interval, kernel=kernel
+    )
+
+
+def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
+                                       interval: int, kernel: bool = False):
+    """All 4 rotations of a symmetric-pattern mode in ONE gather per pixel.
+
+    Requires `taps.fold_geometry(mode)` (s, d, e) and a rotation-folded
+    table from `simplex_tables.fold_lut`.  Each rotation reads the shared
+    4-pixel window at a static shift, so the folded interpolation runs once
+    over a slightly EXTENDED plane (all window origins any rotation needs)
+    and the per-rotation outputs are summed through static un-shift slices.
+    Bit-identical to `rotation_ensemble_lanes_int` (tested), 4x fewer
+    gathers and 4x fewer per-pixel weight computations.
+    """
+    geo = fold_geometry(mode)
+    pad = mode_pad(mode)
+    xp = _pad_all(img, pad)
+    h = img.shape[-2]
+    w = img.shape[-1]
+    my = -min(s[0] for s, _ in geo)
+    mx = -min(s[1] for s, _ in geo)
+    he, we = h + my, w + mx
+    planes = [
+        xp[..., pad - my + dy : pad - my + dy + he,
+           pad - mx + dx : pad - mx + dx + we]
+        for dy, dx in mode_taps(mode)
+    ]
+    ext = simplex_planes_folded_int(
+        flut, planes, v=upscale * upscale, interval=interval, kernel=kernel
+    )
+    acc = None
+    for r, ((sy, sx), _) in enumerate(geo):
+        oy, ox = sy + my, sx + mx
+        piece = ext[..., oy : oy + h, ox : ox + w, r, :]
+        acc = piece if acc is None else acc + piece
+    return acc
+
+
+def prepare_expanded_luts(luts: dict, *, interval: int = 4) -> dict:
+    """Host-side: corner-expanded device tables, rotation-folded when legal.
+
+    Per "s{stage}_{mode}" key:
+
+      * 90-degree-symmetric modes (s, d, e): rotation-FOLDED rows
+        (`simplex_tables.fold_lut`) of shape (L**4, 16*4*v) int8 — one
+        gather serves the whole rotation ensemble, with the output-lane
+        un-rotation permutations pre-applied per rotation block.  Same HBM
+        as 4 per-rotation copies, 4x fewer gathers.
+      * non-symmetric modes (y, h, o), v == 1: (L**4, 16) widened to int32.
+        TPU gathers of 16-BYTE rows run ~15x slower than 64-byte rows
+        (sub-tile rows defeat the gather unit); int32 widening is free
+        exactness-wise (values are |x| <= 127) and costs only 4 MB.
+      * non-symmetric modes, v > 1: (4, L**4, 16*v) int8 per-rotation
+        copies with the lane un-rotation pre-applied (a per-pixel lane
+        shuffle costs ~3.4 ms/rotation at 1080p on a v5e).
 
     Feed the result to `lut_cascade_int(..., expanded=True)`.
     """
     out = {}
     for key, lut in luts.items():
         arr = np.asarray(lut)
+        # Keys follow the reference's "s{stage}_{mode}" naming
+        # (ref: sr/4_test_lut.py:323-333); anything else (ad-hoc tables that
+        # may be evaluated under several modes) gets the generic
+        # per-rotation format, which is valid for every mode.
+        mode = key.rsplit("_", 1)[-1]
+        geo = fold_geometry(mode) if mode in TAPS else None
+        v = arr.shape[1] if arr.ndim == 2 else 1
+        up = int(round(v ** 0.5))
+        if geo is not None:
+            perms = (
+                [lane_rotation_perm(up, r) for r in range(4)] if v > 1 else None
+            )
+            out[key] = jnp.asarray(
+                simplex_tables.fold_lut(
+                    arr.astype(np.int8), geo, perms, interval
+                )
+            )
+            continue
         e = simplex_tables.expand_lut(arr.astype(np.int8), interval)
-        v = e.shape[-1]
         if v == 1:
-            out[key] = jnp.asarray(e.reshape(e.shape[0], 16))
+            out[key] = jnp.asarray(
+                e.reshape(e.shape[0], 16).astype(np.int32)
+            )
         else:
-            up = int(round(v ** 0.5))
             copies = [
                 e[:, :, lane_rotation_perm(up, r)].reshape(e.shape[0], -1)
                 for r in range(4)
@@ -161,6 +258,7 @@ def lut_cascade_int(
     scale: int,
     interval: int = 4,
     expanded: bool = False,
+    kernel: bool = False,
     valid_hw=None,
 ):
     """Full multi-stage x multi-mode x rotation-ensemble LUT cascade.
@@ -172,6 +270,10 @@ def lut_cascade_int(
         `prepare_expanded_luts` instead.
       img: (..., H, W) int32 in [0, 255]; channels (if any) ride the leading
         batch dims — the cascade is channel-agnostic.
+      kernel: run the 16-corner contractions inside the Pallas row-tile
+        kernel (`gather_contract.simplex_contract`) — bit-identical, keeps
+        the f32 accumulator in VMEM (falls back to the Pallas interpreter
+        off-TPU, so leave False for CPU runs unless testing the kernel).
       valid_hw: optional (h, w) traced scalars for bucketed evaluation: the
         image occupies the top-left (h, w) of the static (H, W) buffer, the
         rest is don't-care.  The pad region is re-synchronized to edge
@@ -195,10 +297,26 @@ def lut_cascade_int(
         acc = None
         for mode in modes:
             lut = luts[f"s{s + 1}_{mode}"]
-            out = rotation_ensemble_lanes_int(
-                lut, x, mode=mode, upscale=upscale, interval=interval,
-                expanded=expanded,
+            folded = (
+                expanded
+                and lut.ndim == 2
+                and lut.shape[1] == 64 * upscale * upscale
+                and fold_geometry(mode) is not None
             )
+            if folded:
+                out = rotation_ensemble_lanes_folded_int(
+                    lut, x, mode=mode, upscale=upscale, interval=interval,
+                    kernel=kernel,
+                )
+            elif expanded and (lut.ndim == 3 or lut.shape[1] == 16):
+                out = rotation_ensemble_lanes_quad_int(
+                    lut, x, mode=mode, upscale=upscale, interval=interval,
+                )
+            else:
+                out = rotation_ensemble_lanes_int(
+                    lut, x, mode=mode, upscale=upscale, interval=interval,
+                    expanded=expanded,
+                )
             acc = out if acc is None else acc + out
         mixed = stage_mix(acc, q=q, avg_factor=avg_factor, bias=bias)
         x = _interleave(mixed, upscale) if upscale > 1 else mixed[..., 0]

@@ -159,6 +159,50 @@ def _fraction_ranks(fa, fb, fc, fd):
     return rank_a, rank_b, rank_c, rank_d
 
 
+def corner_lams(fa, fb, fc, fd, *, interval: int = 4):
+    """Per-pixel weights of all 16 hypercube corners, (..., 16) float32.
+
+    lam[..., m] = w_popcount(m) if corner mask m equals the set of dims
+    whose fraction ranks above popcount(m), else 0 — the branchless form of
+    the reference's 24-branch corner selection (ref: sr/4_test_lut.py:148-231).
+    Weights are the adjacent differences of the descending-sorted fractions;
+    ranks carry the reference's tie-breaking.  Everything is exact in f32
+    (integer values below 2**24).
+    """
+    q = 2 ** interval
+    s0, s1, s2, s3 = _sorted_fractions(fa, fb, fc, fd)
+    w = [
+        x.astype(jnp.float32)
+        for x in (q - s0, s0 - s1, s1 - s2, s2 - s3, s3)
+    ]
+    ra, rb, rc, rd = _fraction_ranks(fa, fb, fc, fd)
+    lt = {
+        x: [None] + [(r < k) for k in (1, 2, 3)] + [None]
+        for x, r in (("a", ra), ("b", rb), ("c", rc), ("d", rd))
+    }
+    lams = []
+    for m in range(16):
+        bits = ((m >> 3) & 1, (m >> 2) & 1, (m >> 1) & 1, m & 1)
+        k = sum(bits)
+        used = None
+        for x, bit in zip("abcd", bits):
+            if k in (0, 4):
+                continue  # membership test is vacuous at the path endpoints
+            cond = lt[x][k] if bit else ~lt[x][k]
+            used = cond if used is None else used & cond
+        lams.append(w[k] if used is None else jnp.where(used, w[k], 0.0))
+    return jnp.stack(lams, axis=-1)
+
+
+def _base_and_fracs(planes, *, interval: int):
+    """Flat (N,) LUT base index and the four LSB fractions."""
+    q = 2 ** interval
+    L = 2 ** (8 - interval) + 1
+    a, b, c, d = (p.reshape(-1) for p in planes)
+    base = (((a // q) * L + b // q) * L + c // q) * L + d // q
+    return base, (a % q, b % q, c % q, d % q)
+
+
 def simplex_planes_expanded_int(elut, planes, *, v: int, interval: int = 4):
     """Single-gather integer simplex interpolation over an expanded LUT.
 
@@ -219,6 +263,96 @@ def simplex_planes_expanded_int(elut, planes, *, v: int, interval: int = 4):
         lams.append(w[k] if used is None else jnp.where(used, w[k], 0.0))
     lam = jnp.stack(lams, axis=-1)                       # (N, 16) f32
     out = jnp.einsum("nm,nmv->nv", lam, g)               # exact in f32
+    return out.astype(jnp.int32).reshape(*lead, v)
+
+
+def simplex_planes_folded_int(flut, planes, *, v: int, interval: int = 4,
+                              kernel: bool = False):
+    """Rotation-folded single-gather simplex interpolation.
+
+    The four rotations of a 90-degree-symmetric tap pattern read the same
+    4-pixel window with permuted letter roles (`taps.fold_geometry`), and
+    simplex interpolation is permutation-equivariant, so a table whose rows
+    carry all 4 rotations' corner blocks (`simplex_tables.fold_lut`) serves
+    the whole rotation ensemble with ONE gather per pixel — the per-pixel
+    weights AND the corner-selection masks are computed once and shared:
+    the k-th simplex corner is the mask of the k largest fractions, which
+    is frame-independent.
+
+    The 16-corner contraction runs as 16 contiguous (N, 4*v) fused
+    multiply-adds over the gathered int8 row (m-major column order); with
+    kernel=True they execute inside a Pallas row-tile kernel whose f32
+    accumulator never leaves VMEM (`gather_contract.simplex_contract` —
+    at XLA scope the accumulator re-materializes per corner term).
+
+    Args:
+      flut: (L**4, 16 * 4 * v) int8 folded table (device array).
+      planes: four (..., h, w) int32 rotation-0 tap planes in [0, 255],
+        evaluated over the EXTENDED window range (see
+        `ensemble.rotation_ensemble_lanes_folded_int`).
+      v: output lanes per pixel (upscale**2).
+
+    Returns:
+      (..., h, w, 4, v) int32 per-rotation accumulators (q x the reference
+      float output); rotation r's plane still needs its static spatial
+      un-shift before summing.
+    """
+    lead = planes[0].shape
+    base, (fa, fb, fc, fd) = _base_and_fracs(planes, interval=interval)
+    lam = corner_lams(fa, fb, fc, fd, interval=interval)  # (N, 16)
+    g = jnp.take(flut, base, axis=0)                      # (N, 16*4*v) int8
+    width = 4 * v
+    if kernel:
+        from .gather_contract import simplex_contract
+
+        out = simplex_contract(
+            g, lam, n_rot=1, width=width,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return out.reshape(*lead, 4, v)
+    # einsum (not a hand-rolled FMA chain): XLA fuses the gather + int8
+    # convert into the contraction loop; the unrolled chain re-slices the
+    # gather 16x (52 vs 33 ms per 1080p stage-mode on a v5e).
+    out = jnp.einsum(
+        "nm,nmv->nv", lam, g.reshape(-1, 16, width).astype(jnp.float32)
+    )
+    return out.astype(jnp.int32).reshape(*lead, 4, v)
+
+
+def simplex_planes_quad_int(luts4, planes4, *, v: int, interval: int = 4,
+                            kernel: bool = False):
+    """All 4 rotations of a NON-symmetric mode in one fused contraction.
+
+    y/h/o tap patterns have no 90-degree symmetry, so each rotation keeps
+    its own gather (different pixels -> different table rows; the
+    per-rotation tables differ only by the baked-in output-lane
+    permutation).  The trick: the rotation SUM commutes with the corner
+    contraction, so the four gathered row sets concatenate CONTIGUOUSLY
+    ([r][m][v] — XLA writes each gather straight into its slice of one
+    buffer, no interleave relayout) and ONE einsum over all 64 (r, m)
+    pairs produces the rotation-summed result directly.  One einsum's
+    fixed overhead instead of four (131 -> ~60 ms per 1080p stage-mode).
+
+    Args:
+      luts4: (4, L**4, 16 * v) per-rotation expanded tables (or a shared
+        2-D table repeated 4x for v == 1, where no lane permutation exists).
+      planes4: sequence over rotations of four (..., h, w) int32 tap planes.
+      v: output lanes per pixel.
+
+    Returns:
+      (..., h, w, v) int32 rotation-summed accumulator.
+    """
+    del kernel  # Pallas contraction measured slower than the fused einsum
+    lead = planes4[0][0].shape
+    out = None
+    for r in range(4):
+        base, fr = _base_and_fracs(planes4[r], interval=interval)
+        lam = corner_lams(*fr, interval=interval)          # (N, 16)
+        g = jnp.take(luts4[r], base, axis=0)               # (N, 16*v)
+        o = jnp.einsum(
+            "nm,nmv->nv", lam, g.reshape(-1, 16, v).astype(jnp.float32)
+        )
+        out = o if out is None else out + o
     return out.astype(jnp.int32).reshape(*lead, v)
 
 

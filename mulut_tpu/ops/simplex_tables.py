@@ -192,6 +192,58 @@ def expand_lut(lut: np.ndarray, interval: int = 4) -> np.ndarray:
     return out
 
 
+def fold_lut(
+    lut: np.ndarray,
+    geometry,
+    lane_perms=None,
+    interval: int = 4,
+) -> np.ndarray:
+    """Fold the 4-rotation ensemble of a corner-expanded LUT into its rows.
+
+    For 90-degree-symmetric tap patterns (`taps.fold_geometry`), rotation r
+    reads the same 4-pixel window as rotation 0 with the letter roles
+    permuted by sigma_r.  Simplex interpolation is equivariant under
+    coordinate permutation — interp(T, P x) == interp(T o P, x), where
+    (T o P) permutes both the table's 4 digit axes and the hypercube-corner
+    bit masks — and the k-th simplex corner is the mask of the k LARGEST
+    fractions, a frame-independent statement, so all four rotations share
+    one per-pixel weight/corner-selection computation.  (At fraction ties
+    the permuted tie-break may pick a different corner, but only on corners
+    whose simplex weight is exactly zero — bit-exactness is preserved.)
+
+    Returns (L**4, 16 * 4 * v) with lut's dtype: row n holds, for corner
+    mask m (in rotation-0 letter order) and rotation r, the lane-permuted
+    value block  E[perm_idx_r(n), perm_bits_r(m), lane_perms[r]]  at column
+    block [m][r][:].  The m-major order makes the device-side contraction
+    16 contiguous (N, 4*v) fused multiply-adds.
+
+    One (L**4, 64*v) gather then serves the ENTIRE rotation ensemble of a
+    stage x mode — 4x fewer gathers than per-rotation tables, and TPU
+    gathers cost fixed ns/row nearly independent of row width.
+    """
+    L = 2 ** (8 - interval) + 1
+    e = expand_lut(lut, interval)  # (L**4, 16, v)
+    v = e.shape[-1]
+    idx = np.arange(L ** 4, dtype=np.int64)
+    digits = [idx // L ** 3 % L, idx // L ** 2 % L, idx // L % L, idx % L]
+    blocks = []
+    for r, (_, sigma) in enumerate(geometry):
+        d = [digits[s] for s in sigma]
+        pidx = ((d[0] * L + d[1]) * L + d[2]) * L + d[3]
+        mperm = np.array(
+            [
+                sum(((m >> (3 - sigma[i])) & 1) << (3 - i) for i in range(4))
+                for m in range(16)
+            ]
+        )
+        er = e[pidx][:, mperm]
+        if lane_perms is not None:
+            er = er[:, :, lane_perms[r]]
+        blocks.append(er)
+    folded = np.stack(blocks, axis=2)  # (L**4, 16, 4, v)
+    return folded.reshape(L ** 4, -1)
+
+
 def expand_indices(interval: int = 4) -> np.ndarray:
     """(L**4 * 16,) int32: row r*16 + m = flat(digits(r) + bits(m), clipped).
 

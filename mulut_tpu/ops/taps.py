@@ -52,6 +52,41 @@ def rotated_taps(mode: str, r: int):
     return tuple(maps[r % 4](dy, dx) for dy, dx in TAPS[mode])
 
 
+def fold_geometry(mode: str):
+    """Rotation-folding geometry for 90-degree-symmetric tap patterns.
+
+    The rotation ensemble evaluates the same LUT on rotated reads
+    (ref: sr/4_test_lut.py:293-298).  When a mode's tap pattern is invariant
+    under 90-degree rotation as a POINT SET (s, d, e — the square patterns),
+    rotation r's taps are the base taps *translated* by a static shift and
+    *relabeled* by a letter permutation:
+
+        rotated_taps(mode, r)[i] == TAPS[mode][sigma_r[i]] + shift_r
+
+    so every rotation reads the same 4-pixel window, just assigning the
+    (a, b, c, d) roles differently.  Simplex interpolation at permuted
+    coordinates equals interpolation of the digit-permuted table at the
+    original coordinates, which lets all 4 rotations share ONE table gather
+    per pixel (see `simplex_tables.fold_lut` / `simplex.simplex_planes_folded_int`).
+
+    Returns a tuple over r = 0..3 of ((shift_dy, shift_dx), sigma) where
+    sigma[i] is the base-letter index whose pixel rotation r's letter i
+    reads, or None when the pattern has no 90-degree symmetry (y, h, o).
+    """
+    base = TAPS[mode]
+    out = []
+    for r in range(4):
+        rt = rotated_taps(mode, r)
+        sy = min(dy for dy, dx in rt)
+        sx = min(dx for dy, dx in rt)
+        norm = tuple((dy - sy, dx - sx) for dy, dx in rt)
+        if set(norm) != set(base):
+            return None
+        sigma = tuple(base.index(t) for t in norm)
+        out.append(((sy, sx), sigma))
+    return tuple(out)
+
+
 def lane_rotation_perm(upscale: int, r: int):
     """Lane permutation equal to rot90(up x up output block, 4-r).
 

@@ -1,0 +1,139 @@
+"""Parity of the rotation-folded gather engine vs the per-rotation engine.
+
+The folded engine serves all 4 rotations of a 90-degree-symmetric tap
+pattern (s, d, e) from ONE gather per pixel (ops/simplex_tables.fold_lut +
+ops/simplex.simplex_planes_folded_int); non-symmetric modes (y, h, o) get
+the stacked-contraction quad path.  Both must be bit-identical to
+`rotation_ensemble_lanes_int`, which is bit-identical to the reference
+NumPy engine (ref: sr/4_test_lut.py:14-237).
+"""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mulut_tpu.ops import simplex_tables
+from mulut_tpu.ops.ensemble import (
+    prepare_expanded_luts,
+    rotation_ensemble_lanes_folded_int,
+    rotation_ensemble_lanes_int,
+    rotation_ensemble_lanes_quad_int,
+)
+from mulut_tpu.ops.gather_contract import simplex_contract
+from mulut_tpu.ops.taps import TAPS, fold_geometry, lane_rotation_perm
+
+
+def test_fold_geometry_symmetry_classes():
+    # s/d/e are square point sets (90-degree symmetric); y/h/o are not.
+    for mode in ("s", "d", "e"):
+        geo = fold_geometry(mode)
+        assert geo is not None and len(geo) == 4
+        # rotation 0 must be the identity assignment with zero shift
+        assert geo[0] == ((0, 0), (0, 1, 2, 3))
+        for (sy, sx), sigma in geo:
+            assert sorted(sigma) == [0, 1, 2, 3]
+    for mode in ("y", "h", "o"):
+        assert fold_geometry(mode) is None
+
+
+@pytest.mark.parametrize("mode", ["s", "d", "e"])
+@pytest.mark.parametrize("v", [1, 16])
+def test_folded_matches_per_rotation(mode, v, rng):
+    up = int(round(v ** 0.5))
+    lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, v)), jnp.int32)
+    geo = fold_geometry(mode)
+    perms = [lane_rotation_perm(up, r) for r in range(4)] if v > 1 else None
+    flut = jnp.asarray(
+        simplex_tables.fold_lut(
+            np.asarray(lut).astype(np.int8), geo, perms
+        )
+    )
+    img = jnp.asarray(rng.integers(0, 256, (2, 9, 11)), jnp.int32)
+    a = np.asarray(rotation_ensemble_lanes_int(
+        lut, img, mode=mode, upscale=up, interval=4))
+    b = np.asarray(rotation_ensemble_lanes_folded_int(
+        flut, img, mode=mode, upscale=up, interval=4))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_folded_tie_patterns(rng):
+    """3-level pixel values hit every fraction rank order incl. all ties;
+    the permuted tie-break must still land on zero-weight corners only."""
+    lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, 1)), jnp.int32)
+    flut = jnp.asarray(simplex_tables.fold_lut(
+        np.asarray(lut).astype(np.int8), fold_geometry("s"), None))
+    vals = np.array(list(itertools.product([16, 17, 18], repeat=4)))
+    # lay the 81 combinations out on a grid the 2x2 window scans
+    img = jnp.asarray(
+        np.pad(vals.reshape(81, 2, 2), ((0, 0), (0, 3), (0, 3)), mode="edge"),
+        jnp.int32,
+    )
+    a = np.asarray(rotation_ensemble_lanes_int(
+        lut, img, mode="s", upscale=1, interval=4))
+    b = np.asarray(rotation_ensemble_lanes_folded_int(
+        flut, img, mode="s", upscale=1, interval=4))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("mode", ["y", "h", "o"])
+@pytest.mark.parametrize("v", [1, 16])
+def test_quad_matches_per_rotation(mode, v, rng):
+    up = int(round(v ** 0.5))
+    lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, v)), jnp.int32)
+    eluts = prepare_expanded_luts({f"s9_{mode}" if v > 1 else f"s1_{mode}":
+                                   lut})
+    elut = next(iter(eluts.values()))
+    img = jnp.asarray(rng.integers(0, 256, (2, 8, 10)), jnp.int32)
+    a = np.asarray(rotation_ensemble_lanes_int(
+        lut, img, mode=mode, upscale=up, interval=4))
+    b = np.asarray(rotation_ensemble_lanes_quad_int(
+        elut, img, mode=mode, upscale=up, interval=4))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("mode", list(TAPS))
+def test_prepare_expanded_formats(mode, rng):
+    """prepare_expanded_luts picks folded rows for symmetric modes,
+    int32-widened or per-rotation copies otherwise."""
+    for v in (1, 16):
+        lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, v)), jnp.int32)
+        out = prepare_expanded_luts({f"s1_{mode}": lut})[f"s1_{mode}"]
+        if fold_geometry(mode) is not None:
+            assert out.shape == (17 ** 4, 64 * v) and out.dtype == jnp.int8
+        elif v == 1:
+            assert out.shape == (17 ** 4, 16) and out.dtype == jnp.int32
+        else:
+            assert out.shape == (4, 17 ** 4, 16 * v) and out.dtype == jnp.int8
+
+
+@pytest.mark.parametrize("n_rot,width", [(1, 4), (1, 64), (4, 16)])
+def test_simplex_contract_kernel(n_rot, width, rng):
+    """Pallas contraction (interpret mode off-TPU) vs the plain einsum."""
+    n = 700  # not a TILE multiple: exercises the pad/slice path
+    g = jnp.asarray(
+        rng.integers(-127, 128, (n, 16 * n_rot * width)), jnp.int8)
+    lam = jnp.asarray(
+        rng.integers(0, 17, (n, 16 * n_rot)).astype(np.float32))
+    out = np.asarray(simplex_contract(
+        g, lam, n_rot=n_rot, width=width, interpret=True))
+    gr = np.asarray(g, np.float32).reshape(n, 16, n_rot, width)
+    lr = np.asarray(lam).reshape(n, 16, n_rot)
+    want = np.einsum("nmr,nmrw->nrw", lr, gr).reshape(n, n_rot * width)
+    np.testing.assert_array_equal(out, want.astype(np.int32))
+
+
+def test_folded_kernel_path(rng):
+    """kernel=True route through the folded ensemble (interpreted on CPU)."""
+    lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, 16)), jnp.int32)
+    geo = fold_geometry("s")
+    perms = [lane_rotation_perm(4, r) for r in range(4)]
+    flut = jnp.asarray(simplex_tables.fold_lut(
+        np.asarray(lut).astype(np.int8), geo, perms))
+    img = jnp.asarray(rng.integers(0, 256, (1, 6, 7)), jnp.int32)
+    a = np.asarray(rotation_ensemble_lanes_folded_int(
+        flut, img, mode="s", upscale=4, interval=4))
+    b = np.asarray(rotation_ensemble_lanes_folded_int(
+        flut, img, mode="s", upscale=4, interval=4, kernel=True))
+    np.testing.assert_array_equal(a, b)
