@@ -238,15 +238,35 @@ def clamp_pad_region(img, valid_hw):
     region.
 
     `img` is (..., Hb, Wb) with static bucket dims; `valid_hw = (h, w)` may
-    be traced scalars.  Equivalent to cropping to (h, w) and edge-padding
-    back to (Hb, Wb), but with static shapes — the key to compiling the
-    cascade ONCE per bucket and serving every image size below it.
+    be traced scalars — or (B,) vectors for a batch of differently-sized
+    images sharing one bucket buffer (leading img dim = B).  Equivalent to
+    cropping each image to its (h, w) and edge-padding back to (Hb, Wb),
+    but with static shapes — the key to compiling the cascade ONCE per
+    bucket and serving every image size below it.
     """
     h, w = valid_hw
     Hb, Wb = img.shape[-2], img.shape[-1]
-    rows = jnp.minimum(jnp.arange(Hb), h - 1)
-    cols = jnp.minimum(jnp.arange(Wb), w - 1)
-    return jnp.take(jnp.take(img, rows, axis=-2), cols, axis=-1)
+    h = jnp.asarray(h)
+    if h.ndim == 0:
+        rows = jnp.minimum(jnp.arange(Hb), h - 1)
+        cols = jnp.minimum(jnp.arange(Wb), w - 1)
+        return jnp.take(jnp.take(img, rows, axis=-2), cols, axis=-1)
+    # Per-image sizes: broadcast (B,) against the leading batch dim and
+    # gather along each spatial axis with take_along_axis.
+    b = h.shape[0]
+    lead = (b,) + (1,) * (img.ndim - 3)
+    rows = jnp.minimum(
+        jnp.arange(Hb), (h - 1).reshape(lead + (1,))
+    )[..., None]                                   # (B, ..1.., Hb, 1)
+    cols = jnp.minimum(
+        jnp.arange(Wb), (jnp.asarray(w) - 1).reshape(lead + (1,))
+    )[..., None, :]                                # (B, ..1.., 1, Wb)
+    img = jnp.take_along_axis(
+        img, jnp.broadcast_to(rows, img.shape[:-1] + (1,)), axis=-2
+    )
+    return jnp.take_along_axis(
+        img, jnp.broadcast_to(cols, img.shape[:-2] + (1, Wb)), axis=-1
+    )
 
 
 def lut_cascade_int(

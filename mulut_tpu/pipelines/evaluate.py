@@ -37,22 +37,26 @@ class LutEvaluator:
         self.scale = scale
         self.interval = interval
         self.bucket = bucket
-        self.luts = prepare_expanded_luts(luts, interval=interval)
+        # Tables ride as jit ARGUMENTS (device buffers), not closure
+        # constants — baked-in constants of this size blow remote-compile
+        # request limits (and re-upload per compiled shape).
+        self.luts = jax.device_put(prepare_expanded_luts(luts,
+                                                         interval=interval))
 
         @jax.jit
-        def _run(img):
-            return lut_cascade_int(self.luts, img, stages=stages, modes=modes,
+        def _run_tabs(tabs, img):
+            return lut_cascade_int(tabs, img, stages=stages, modes=modes,
                                    scale=scale, interval=interval,
                                    expanded=True)
 
         @jax.jit
-        def _run_bucketed(img, h, w):
-            return lut_cascade_int(self.luts, img, stages=stages, modes=modes,
+        def _run_bucketed_tabs(tabs, img, h, w):
+            return lut_cascade_int(tabs, img, stages=stages, modes=modes,
                                    scale=scale, interval=interval,
                                    expanded=True, valid_hw=(h, w))
 
-        self._run = _run
-        self._run_bucketed = _run_bucketed
+        self._run = functools.partial(_run_tabs, self.luts)
+        self._run_bucketed = functools.partial(_run_bucketed_tabs, self.luts)
 
     @classmethod
     def from_folder(cls, lut_folder: str, *, stages: int = 2, modes: str = "sdy",
@@ -96,6 +100,50 @@ class LutEvaluator:
         chw = jnp.asarray(imgs_lr.astype(np.int32).transpose(0, 3, 1, 2))
         out = np.asarray(self._run(chw))
         return out.transpose(0, 2, 3, 1).astype(np.uint8)
+
+    def upscale_many(self, imgs_lr: list) -> list:
+        """Mixed-size batch: ONE compiled dispatch per bucket shape.
+
+        Replaces the reference's Pool(24) per-image process fan-out
+        (ref: sr/4_test_lut.py:257-259) with the chip's batch dimension:
+        images are grouped by their bucket-padded shape, stacked, and run
+        through the bucketed cascade with per-image valid (h, w) vectors
+        (`ops.ensemble.clamp_pad_region` re-synchronizes each image's pad
+        region on device).  Bit-identical to per-image `upscale`.
+
+        Requires `bucket > 0` (same-shape groups would still batch, but
+        mixed shapes need the bucket to share a program).
+        """
+        assert self.bucket, "upscale_many requires a bucket size"
+        bucket, scale = self.bucket, self.scale
+        groups: dict = {}
+        for i, img in enumerate(imgs_lr):
+            h, w = img.shape[:2]
+            hb = -(-h // bucket) * bucket
+            wb = -(-w // bucket) * bucket
+            groups.setdefault((hb, wb), []).append(i)
+        outs: list = [None] * len(imgs_lr)
+        for (hb, wb), idxs in groups.items():
+            batch = np.stack([
+                np.pad(
+                    imgs_lr[i].astype(np.int32).transpose(2, 0, 1),
+                    [(0, 0),
+                     (0, hb - imgs_lr[i].shape[0]),
+                     (0, wb - imgs_lr[i].shape[1])],
+                    mode="edge",
+                )
+                for i in idxs
+            ])
+            hs = jnp.asarray([imgs_lr[i].shape[0] for i in idxs], jnp.int32)
+            ws = jnp.asarray([imgs_lr[i].shape[1] for i in idxs], jnp.int32)
+            out = np.asarray(self._run_bucketed(jnp.asarray(batch), hs, ws))
+            for k, i in enumerate(idxs):
+                h, w = imgs_lr[i].shape[:2]
+                outs[i] = (
+                    out[k, :, : h * scale, : w * scale]
+                    .transpose(1, 2, 0).astype(np.uint8)
+                )
+        return outs
 
 
 class NetEvaluator:
@@ -215,11 +263,17 @@ def eval_dataset(evaluator: LutEvaluator, test_dir: str, dataset: str,
     lr_dir = os.path.join(test_dir, dataset, f"LR_bicubic/X{scale}")
     files = sorted(os.listdir(hr_dir))
 
+    imgs_lr = [load_image(os.path.join(lr_dir, f)) for f in files]
+    gts = [modcrop(load_image(os.path.join(hr_dir, f)), scale) for f in files]
+    if getattr(evaluator, "bucket", 0):
+        # Whole-dataset batched dispatch: one compiled program per bucket
+        # shape instead of the reference's per-image Pool(24) fan-out.
+        outs = evaluator.upscale_many(imgs_lr)
+    else:
+        outs = [evaluator.upscale(img) for img in imgs_lr]
+
     results = []
-    for f in files:
-        img_lr = load_image(os.path.join(lr_dir, f))
-        img_gt = modcrop(load_image(os.path.join(hr_dir, f)), scale)
-        img_out = evaluator.upscale(img_lr)
+    for f, img_gt, img_out in zip(files, gts, outs):
         if result_path is not None:
             save_image(
                 os.path.join(

@@ -36,3 +36,18 @@ def test_bucketed_equals_exact(small_luts):
         np.testing.assert_array_equal(
             exact.upscale(img), bucketed.upscale(img), err_msg=str(hw)
         )
+
+
+def test_batched_bucketed_equals_exact(small_luts):
+    """upscale_many: mixed sizes, per-image valid extents, one dispatch per
+    bucket group — must be bit-identical to per-image evaluation."""
+    rng = np.random.default_rng(7)
+    exact = LutEvaluator(small_luts, stages=2, modes="sdy", scale=4)
+    bucketed = LutEvaluator(small_luts, stages=2, modes="sdy", scale=4,
+                            bucket=16)
+    sizes = [(13, 18), (16, 32), (9, 25), (16, 18), (5, 7)]
+    imgs = [rng.integers(0, 256, hw + (3,)).astype(np.uint8) for hw in sizes]
+    outs = bucketed.upscale_many(imgs)
+    for img, out, hw in zip(imgs, outs, sizes):
+        np.testing.assert_array_equal(exact.upscale(img), out,
+                                      err_msg=str(hw))
