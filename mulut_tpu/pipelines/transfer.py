@@ -37,17 +37,22 @@ def lut_grid(interval: int = 4) -> np.ndarray:
     return vals  # (L**4, 4)
 
 
-def cache_lut(unit_params: dict, *, interval: int = 4) -> np.ndarray:
+def cache_lut(unit_params: dict, *, interval: int = 4,
+              dense: bool = True) -> np.ndarray:
     """One unit -> int8 LUT (L**4, out_dim): round(clamp(out, -1, 1) * 127)
-    (ref: sr/2_transfer_to_lut.py:108-109)."""
+    (ref: sr/2_transfer_to_lut.py:108-109).
+
+    `dense` must match how the unit was initialized (SR/DN units are
+    dense-concat; the DMNet demosaic unit is plain, ref:
+    common/network.py:87-92 vs :276-317)."""
     grid = jnp.asarray(lut_grid(interval))
 
-    @jax.jit
-    def fwd(p, g):
-        out = apply_mulut_unit(p, g)
+    @functools.partial(jax.jit, static_argnames="d")
+    def fwd(p, g, d):
+        out = apply_mulut_unit(p, g, dense=d)
         return jnp.round(jnp.clip(out, -1.0, 1.0) * 127.0)
 
-    out = np.asarray(fwd(unit_params, grid))
+    out = np.asarray(fwd(unit_params, grid, dense))
     return out.astype(np.int8)
 
 
