@@ -29,6 +29,8 @@ from .simplex import (
     simplex_planes_folded_int,
     simplex_planes_int,
     simplex_planes_quad_int,
+    simplex_planes_rank_folded_int,
+    simplex_planes_rank_quad_int,
 )
 from .taps import (
     TAPS,
@@ -106,12 +108,15 @@ def rotation_ensemble_lanes_int(lut, img, *, mode: str, upscale: int,
 
 
 def rotation_ensemble_lanes_quad_int(lut, img, *, mode: str, upscale: int,
-                                     interval: int, kernel: bool = False):
+                                     interval: int, fused: bool = True,
+                                     rank: bool = False):
     """4-rotation ensemble of a non-symmetric mode, single fused contraction.
 
     Same semantics as `rotation_ensemble_lanes_int(expanded=True)` for y/h/o
     tables; the four per-rotation gathers feed one stacked contraction (see
-    `simplex.simplex_planes_quad_int`).
+    `simplex.simplex_planes_quad_int`).  With rank=True, `lut` is the
+    (4, L**4 * 24, 5 * v) rank-expanded form from
+    `simplex_tables.rank_expand_rotations` (5-corner rows).
     """
     pad = mode_pad(mode)
     xp = _pad_all(img, pad)
@@ -125,22 +130,71 @@ def rotation_ensemble_lanes_quad_int(lut, img, *, mode: str, upscale: int,
         for r in range(4)
     ]
     luts4 = lut if lut.ndim == 3 else [lut] * 4
+    v = upscale * upscale
+    if fused and v > 1:  # v == 1 output is gather-floor-bound already
+        # Fused rotation-summed contraction: concatenate the four
+        # per-rotation gathers and weight vectors column-wise and run ONE
+        # flat contraction over all (r, m) terms — the rotation sum falls
+        # out of the accumulator (no shifts needed: each rotation gathers
+        # at its own taps, outputs are already spatially aligned), and the
+        # flat (N, v) output avoids the 6-D relayout of the per-rotation
+        # path.
+        from .simplex import (
+            _base_and_fracs,
+            _lehmer_code,
+            corner_lams,
+            sorted_weights,
+        )
+
+        lead = planes4[0][0].shape
+        n = int(np.prod(lead))
+        terms = 5 if rank else 16
+        # Per-rotation einsums, NOT one concatenated contraction: the
+        # concat buffer tempts XLA into materializing a full-width s32/f32
+        # copy of all four gathers at once (observed 12 GB HLO temp ->
+        # OOM at full-cascade scope).  Separate einsums fuse each int8
+        # gather straight into its contraction; the rotation sum stays in
+        # f32 (integer-valued, < 2**24 — exact) with one final convert.
+        out = None
+        for r in range(4):
+            base, fr = _base_and_fracs(planes4[r], interval=interval)
+            if rank:
+                lam = sorted_weights(*fr, interval=interval)
+                g = jnp.take(luts4[r], base * 24 + _lehmer_code(*fr),
+                             axis=0)
+            else:
+                lam = corner_lams(*fr, interval=interval)
+                g = jnp.take(luts4[r], base, axis=0)
+            o = jnp.einsum(
+                "nm,nmv->nv", lam,
+                g.reshape(n, terms, v).astype(jnp.float32),
+            )
+            out = o if out is None else out + o
+        return out.astype(jnp.int32).reshape(*lead, v)
+    if rank:
+        return simplex_planes_rank_quad_int(
+            luts4, planes4, v=v, interval=interval
+        )
     return simplex_planes_quad_int(
-        luts4, planes4, v=upscale * upscale, interval=interval, kernel=kernel
+        luts4, planes4, v=v, interval=interval
     )
 
 
 def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
-                                       interval: int, kernel: bool = False):
+                                       interval: int, fused: bool = True,
+                                       rank: bool = False):
     """All 4 rotations of a symmetric-pattern mode in ONE gather per pixel.
 
     Requires `taps.fold_geometry(mode)` (s, d, e) and a rotation-folded
-    table from `simplex_tables.fold_lut`.  Each rotation reads the shared
-    4-pixel window at a static shift, so the folded interpolation runs once
-    over a slightly EXTENDED plane (all window origins any rotation needs)
-    and the per-rotation outputs are summed through static un-shift slices.
-    Bit-identical to `rotation_ensemble_lanes_int` (tested), 4x fewer
-    gathers and 4x fewer per-pixel weight computations.
+    table from `simplex_tables.fold_lut` — or, with rank=True, the
+    rank-expanded (L**4 * 24, 5 * 4 * v) form from
+    `simplex_tables.rank_fold_lut` (5-corner rows, 3.2x fewer bytes).
+    Each rotation reads the shared 4-pixel window at a static shift, so
+    the folded interpolation runs once over a slightly EXTENDED plane (all
+    window origins any rotation needs) and the per-rotation outputs are
+    summed through static un-shift slices.  Bit-identical to
+    `rotation_ensemble_lanes_int` (tested), 4x fewer gathers and 4x fewer
+    per-pixel weight computations.
     """
     geo = fold_geometry(mode)
     pad = mode_pad(mode)
@@ -155,9 +209,55 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
            pad - mx + dx : pad - mx + dx + we]
         for dy, dx in mode_taps(mode)
     ]
-    ext = simplex_planes_folded_int(
-        flut, planes, v=upscale * upscale, interval=interval, kernel=kernel
-    )
+    v = upscale * upscale
+    if fused and v > 1:  # v == 1 output is gather-floor-bound already
+        # Fused FLAT path: run the contraction on the flat (N, 4v) view
+        # and turn the rotation un-shifts into 1-D shifted-slice adds
+        # (flat offset d_r = oy*we + ox).  This sidesteps the
+        # (..., he, we, 4, v) relayout XLA inserts for 6-D spatial slicing
+        # — a 64-step lane-loop transpose worth ~21 ms per 1080p
+        # stage-mode on a v5e.  Rows whose shift crosses a plane boundary
+        # correspond to cropped (x >= w or y >= h) outputs, so the
+        # wrapped values are never used.
+        from .simplex import (
+            _base_and_fracs,
+            _lehmer_code,
+            corner_lams,
+            sorted_weights,
+        )
+
+        lead = planes[0].shape
+        n_ext = int(np.prod(lead))
+        dmax = my * we + mx
+        base, fr = _base_and_fracs(planes, interval=interval)
+        if rank:
+            lam = sorted_weights(*fr, interval=interval)
+            g = jnp.take(flut, base * 24 + _lehmer_code(*fr), axis=0)
+            terms = 5
+        else:
+            lam = corner_lams(*fr, interval=interval)
+            g = jnp.take(flut, base, axis=0)
+            terms = 16
+        ext = jnp.einsum(
+            "nm,nmv->nv", lam,
+            g.reshape(n_ext, terms, 4 * v).astype(jnp.float32),
+        ).astype(jnp.int32)                                # (n_ext, 4v)
+        m_rows = n_ext - dmax
+        acc = None
+        for r, ((sy, sx), _) in enumerate(geo):
+            d = (sy + my) * we + (sx + mx)
+            piece = ext[d : d + m_rows, r * v : (r + 1) * v]
+            acc = piece if acc is None else acc + piece
+        acc = jnp.pad(acc, ((0, n_ext - m_rows), (0, 0)))
+        return acc.reshape(*lead, v)[..., :h, :w, :]
+    if rank:
+        ext = simplex_planes_rank_folded_int(
+            flut, planes, v=v, interval=interval
+        )
+    else:
+        ext = simplex_planes_folded_int(
+            flut, planes, v=v, interval=interval
+        )
     acc = None
     for r, ((sy, sx), _) in enumerate(geo):
         oy, ox = sy + my, sx + mx
@@ -166,26 +266,36 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
     return acc
 
 
-def prepare_expanded_luts(luts: dict, *, interval: int = 4) -> dict:
+def prepare_expanded_luts(luts: dict, *, interval: int = 4,
+                          rank: bool = True) -> dict:
     """Host-side: corner-expanded device tables, rotation-folded when legal.
 
     Per "s{stage}_{mode}" key:
 
-      * 90-degree-symmetric modes (s, d, e): rotation-FOLDED rows
-        (`simplex_tables.fold_lut`) of shape (L**4, 16*4*v) int8 — one
-        gather serves the whole rotation ensemble, with the output-lane
-        un-rotation permutations pre-applied per rotation block.  Same HBM
-        as 4 per-rotation copies, 4x fewer gathers.
-      * non-symmetric modes (y, h, o), v == 1: (L**4, 16) widened to int32.
+      * 90-degree-symmetric modes (s, d, e), v > 1: rank-expanded
+        rotation-folded rows (`simplex_tables.rank_fold_lut`) of shape
+        (L**4 * 24, 5*4*v) int8 — row `base*24 + lehmer(rank)` holds
+        exactly the 5 simplex-chain corners of all 4 rotations, with the
+        output-lane un-rotation pre-applied per rotation block.  One
+        gather + 5 FMAs serve the whole rotation ensemble.
+      * symmetric modes, v == 1: rotation-FOLDED 16-corner rows
+        (`simplex_tables.fold_lut`), (L**4, 64) int8 — these gathers are
+        row-floor-bound, so the 24x row expansion buys nothing.
+      * non-symmetric modes (y, h, o), v > 1: (4, L**4 * 24, 5*v) int8
+        rank-expanded per-rotation tables (each rotation gathers with its
+        own base and rank code).
+      * non-symmetric modes, v == 1: (L**4, 16) widened to int32.
         TPU gathers of 16-BYTE rows run ~15x slower than 64-byte rows
         (sub-tile rows defeat the gather unit); int32 widening is free
         exactness-wise (values are |x| <= 127) and costs only 4 MB.
-      * non-symmetric modes, v > 1: (4, L**4, 16*v) int8 per-rotation
-        copies with the lane un-rotation pre-applied (a per-pixel lane
-        shuffle costs ~3.4 ms/rotation at 1080p on a v5e).
+
+    rank=False falls back to the 16-corner formats everywhere (e.g. to
+    bound table memory at small intervals: rank tables cost 24/16 * 5/16
+    the rows x widths — ~640 MB per stage-2 mode at interval=4).
 
     Feed the result to `lut_cascade_int(..., expanded=True)`.
     """
+    L = 2 ** (8 - interval) + 1
     out = {}
     for key, lut in luts.items():
         arr = np.asarray(lut)
@@ -197,13 +307,25 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4) -> dict:
         geo = fold_geometry(mode) if mode in TAPS else None
         v = arr.shape[1] if arr.ndim == 2 else 1
         up = int(round(v ** 0.5))
+        # Rank expansion is a byte-bound-gather optimization; only the
+        # wide (v > 1) tables are byte-bound, and at interval < 4 the 24x
+        # row blowup stops fitting HBM comfortably (L=33 -> 28.5M rows).
+        use_rank = rank and v > 1 and L <= 17
         if geo is not None:
             perms = (
                 [lane_rotation_perm(up, r) for r in range(4)] if v > 1 else None
             )
+            build = (simplex_tables.rank_fold_lut if use_rank
+                     else simplex_tables.fold_lut)
             out[key] = jnp.asarray(
-                simplex_tables.fold_lut(
-                    arr.astype(np.int8), geo, perms, interval
+                build(arr.astype(np.int8), geo, perms, interval)
+            )
+            continue
+        if use_rank:
+            perms = [lane_rotation_perm(up, r) for r in range(4)]
+            out[key] = jnp.asarray(
+                simplex_tables.rank_expand_rotations(
+                    arr.astype(np.int8), perms, interval
                 )
             )
             continue
@@ -278,7 +400,7 @@ def lut_cascade_int(
     scale: int,
     interval: int = 4,
     expanded: bool = False,
-    kernel: bool = False,
+    fused: bool = True,
     valid_hw=None,
 ):
     """Full multi-stage x multi-mode x rotation-ensemble LUT cascade.
@@ -290,10 +412,11 @@ def lut_cascade_int(
         `prepare_expanded_luts` instead.
       img: (..., H, W) int32 in [0, 255]; channels (if any) ride the leading
         batch dims — the cascade is channel-agnostic.
-      kernel: run the 16-corner contractions inside the Pallas row-tile
-        kernel (`gather_contract.simplex_contract`) — bit-identical, keeps
-        the f32 accumulator in VMEM (falls back to the Pallas interpreter
-        off-TPU, so leave False for CPU runs unless testing the kernel).
+      fused: route wide (v > 1) stages through the fused FLAT contraction
+        paths (rotation un-shifts as 1-D shifted-slice adds; rotation sum
+        inside one einsum for non-symmetric modes) — bit-identical, and
+        avoids a ~21 ms/stage-mode 6-D relayout XLA otherwise inserts at
+        1080p.  Pure XLA (no Pallas); default on.
       valid_hw: optional (h, w) traced scalars for bucketed evaluation: the
         image occupies the top-left (h, w) of the static (H, W) buffer, the
         rest is don't-care.  The pad region is re-synchronized to edge
@@ -315,22 +438,29 @@ def lut_cascade_int(
         avg_factor = len(modes) if last else len(modes) * 4
         bias = 0 if last else 127
         acc = None
+        L4 = (2 ** (8 - interval) + 1) ** 4
+        v = upscale * upscale
         for mode in modes:
             lut = luts[f"s{s + 1}_{mode}"]
+            # Table format is recognized by shape (see prepare_expanded_luts):
+            # rank-expanded tables have 24x the base rows.
+            rows = lut.shape[1] if lut.ndim == 3 else lut.shape[0]
+            rank = expanded and rows == L4 * 24
             folded = (
                 expanded
                 and lut.ndim == 2
-                and lut.shape[1] == 64 * upscale * upscale
+                and lut.shape[1] == (20 if rank else 64) * v
                 and fold_geometry(mode) is not None
             )
             if folded:
                 out = rotation_ensemble_lanes_folded_int(
                     lut, x, mode=mode, upscale=upscale, interval=interval,
-                    kernel=kernel,
+                    fused=fused, rank=rank,
                 )
             elif expanded and (lut.ndim == 3 or lut.shape[1] == 16):
                 out = rotation_ensemble_lanes_quad_int(
                     lut, x, mode=mode, upscale=upscale, interval=interval,
+                    fused=fused, rank=rank,
                 )
             else:
                 out = rotation_ensemble_lanes_int(

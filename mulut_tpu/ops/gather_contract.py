@@ -44,15 +44,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512
+TILE = 2048
 
 
-def _kernel(n_rot: int, width: int, g_ref, lam_ref, out_ref, acc_ref):
+def _kernel(n_terms: int, n_rot: int, width: int, g_ref, lam_ref, out_ref,
+            acc_ref):
     gw = n_rot * width
     # In-place accumulation into a VMEM scratch: an out-of-place `acc + term`
-    # chain keeps all 16 unrolled temporaries live and blows the 16 MB
+    # chain keeps all unrolled temporaries live and blows the 16 MB
     # scoped-VMEM budget.
-    for m in range(16):
+    for m in range(n_terms):
         if n_rot == 1:
             lam = lam_ref[:, m : m + 1]                    # (T, 1) broadcast
         else:
@@ -84,20 +85,25 @@ def simplex_contract(g, lam, *, n_rot: int, width: int,
     """out[n, r*W+w] = sum_m lam[n, m*n_rot+r] * g[n, (m*n_rot+r)*W+w].
 
     Args:
-      g: (N, 16 * n_rot * width) int8/int32 gathered corner rows, [m][r][W].
-      lam: (N, 16 * n_rot) float32 simplex corner weights, [m][r].
+      g: (N, n_terms * n_rot * width) int8/int32 gathered corner rows,
+        [m][r][W] — n_terms is 16 for corner-expanded tables, 5 for
+        rank-expanded ones (inferred from the column count).
+      lam: (N, n_terms * n_rot) float32 simplex corner weights, [m][r].
       interpret: run in the Pallas interpreter (CPU testing).
 
     Returns:
       (N, n_rot * width) int32 per-rotation accumulators.
     """
     n = g.shape[0]
+    n_terms = g.shape[1] // (n_rot * width)
+    assert n_terms * n_rot * width == g.shape[1]
+    assert lam.shape[1] == n_terms * n_rot
     n_pad = -(-n // TILE) * TILE
     if n_pad != n:
         g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
         lam = jnp.pad(lam, ((0, n_pad - n), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_kernel, n_rot, width),
+        functools.partial(_kernel, n_terms, n_rot, width),
         grid=(n_pad // TILE,),
         in_specs=[
             pl.BlockSpec((TILE, g.shape[1]), lambda i: (i, 0),

@@ -319,6 +319,90 @@ def simplex_planes_folded_int(flut, planes, *, v: int, interval: int = 4,
     return out.astype(jnp.int32).reshape(*lead, 4, v)
 
 
+def _lehmer_code(fa, fb, fc, fd):
+    """Bijective 0..23 code of the descending fraction-rank permutation.
+
+    Must match `simplex_tables.lehmer_of_ranks` (the rank tables' row
+    order); ranks carry the reference's tie-breaking via `_fraction_ranks`.
+    """
+    ra, rb, rc, rd = _fraction_ranks(fa, fb, fc, fd)
+    l2 = rb - (rb > ra).astype(jnp.int32)
+    l3 = rc - (rc > ra).astype(jnp.int32) - (rc > rb).astype(jnp.int32)
+    return ra * 6 + l2 * 2 + l3
+
+
+def sorted_weights(fa, fb, fc, fd, *, interval: int = 4):
+    """The 5 simplex weights in rank order, (..., 5) float32.
+
+    (q - s0, s0 - s1, s1 - s2, s2 - s3, s3) over the descending-sorted
+    fractions — the weight multiset of every one of the reference's 24
+    branches (ref: sr/4_test_lut.py:148-231); the rank-expanded tables
+    put the matching corner chain at `base * 24 + lehmer`.
+    """
+    q = 2 ** interval
+    s0, s1, s2, s3 = _sorted_fractions(fa, fb, fc, fd)
+    return jnp.stack(
+        [x.astype(jnp.float32) for x in (q - s0, s0 - s1, s1 - s2, s2 - s3,
+                                         s3)],
+        axis=-1,
+    )
+
+
+def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
+                                   interval: int = 4,
+                                   kernel: bool = False):
+    """Rank-expanded rotation-folded interpolation: 5-corner rows.
+
+    Like `simplex_planes_folded_int` but over `simplex_tables.rank_fold_lut`
+    tables: the gather row at `base * 24 + lehmer(ranks)` already holds
+    exactly the 5 simplex-chain corners of all 4 rotations, so the
+    contraction is 5 fused multiply-adds with the sorted-difference
+    weights — no corner-mask selection, 3.2x fewer gathered bytes.
+
+    Returns (..., h, w, 4, v) int32 per-rotation accumulators.
+    """
+    lead = planes[0].shape
+    base, (fa, fb, fc, fd) = _base_and_fracs(planes, interval=interval)
+    lam = sorted_weights(fa, fb, fc, fd, interval=interval)   # (N, 5)
+    idx = base * 24 + _lehmer_code(fa, fb, fc, fd)
+    g = jnp.take(rflut, idx, axis=0)                          # (N, 5*4*v)
+    if kernel:
+        from .gather_contract import simplex_contract
+
+        out = simplex_contract(
+            g, lam, n_rot=1, width=4 * v,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return out.reshape(*lead, 4, v)
+    out = jnp.einsum(
+        "nk,nkv->nv", lam, g.reshape(-1, 5, 4 * v).astype(jnp.float32)
+    )
+    return out.astype(jnp.int32).reshape(*lead, 4, v)
+
+
+def simplex_planes_rank_quad_int(rluts4, planes4, *, v: int,
+                                 interval: int = 4):
+    """Rank-expanded per-rotation interpolation for non-symmetric modes.
+
+    Each rotation keeps its own base/rank/gather (different pixels), from
+    its own (L**4 * 24, 5 * v) table block; the rotation sum happens in
+    the accumulator.  Returns (..., h, w, v) int32.
+    """
+    lead = planes4[0][0].shape
+    out = None
+    for r in range(4):
+        base, (fa, fb, fc, fd) = _base_and_fracs(planes4[r],
+                                                 interval=interval)
+        lam = sorted_weights(fa, fb, fc, fd, interval=interval)
+        idx = base * 24 + _lehmer_code(fa, fb, fc, fd)
+        g = jnp.take(rluts4[r], idx, axis=0)                  # (N, 5*v)
+        o = jnp.einsum(
+            "nk,nkv->nv", lam, g.reshape(-1, 5, v).astype(jnp.float32)
+        )
+        out = o if out is None else out + o
+    return out.astype(jnp.int32).reshape(*lead, v)
+
+
 def simplex_planes_quad_int(luts4, planes4, *, v: int, interval: int = 4,
                             kernel: bool = False):
     """All 4 rotations of a NON-symmetric mode in one fused contraction.

@@ -244,6 +244,100 @@ def fold_lut(
     return folded.reshape(L ** 4, -1)
 
 
+def lehmer_of_ranks(ra, rb, rc, rd, xp=np):
+    """Bijective 0..23 code of the descending-rank permutation.
+
+    Works on scalars or arrays (host or jnp via `xp`).  Must match the
+    device-side computation in `simplex._lehmer_code` exactly — the rank
+    tables below are indexed by this code.
+    """
+    l2 = rb - (rb > ra)
+    l3 = rc - (rc > ra) - (rc > rb)
+    del rd  # implied by the other three
+    return ra * 6 + l2 * 2 + l3
+
+
+def rank_chain_masks() -> np.ndarray:
+    """(24, 5) int corner masks of the simplex chain per Lehmer rank code.
+
+    For a pixel whose fractions have descending ranks (ra, rb, rc, rd)
+    (0 = largest; reference tie-break), the k-th simplex corner is the
+    hypercube mask of the k highest-ranked dimensions:
+    m_0 = 0000, m_k = m_{k-1} | bit(dim with rank k-1), m_4 = 1111
+    (ref: sr/4_test_lut.py:148-231 — each branch's corner chain).
+    """
+    import itertools
+
+    out = np.zeros((24, 5), dtype=np.int64)
+    bit = (8, 4, 2, 1)  # a, b, c, d
+    for ranks in itertools.permutations(range(4)):
+        p = int(lehmer_of_ranks(*ranks))
+        order = sorted(range(4), key=lambda x: ranks[x])  # dims by rank
+        m = 0
+        for k, dim in enumerate(order):
+            m |= bit[dim]
+            out[p, k + 1] = m
+    return out
+
+
+def rank_fold_lut(
+    lut: np.ndarray,
+    geometry,
+    lane_perms=None,
+    interval: int = 4,
+) -> np.ndarray:
+    """Rank-expanded rotation-folded table: 5 chain corners per row.
+
+    Rows are indexed by `base * 24 + lehmer(rank)`: row p of base n holds
+    exactly the 5 simplex-chain corners (in rank order) of every rotation,
+    so the device-side contraction is 5 fused multiply-adds with the
+    sorted-difference weights directly — no corner-mask selection at all.
+    3.2x fewer gathered bytes and FMA terms than `fold_lut`, for 24/16 =
+    1.5x/corner ~ 4.8x the HBM footprint (the wide-row expansion trades
+    memory for the byte-bound stage-2 gathers).
+
+    Returns (L**4 * 24, 5 * 4 * v): column block [k][r][:] is chain corner
+    k of rotation r (k-major, matching `fold_lut`'s m-major layout).
+    Bit-exactness argument is `fold_lut`'s: rank ties may permute which
+    corner a rotation's own tie-break would chain through, but only where
+    the corresponding weight is exactly zero.
+    """
+    L = 2 ** (8 - interval) + 1
+    v = lut.shape[1] if lut.ndim == 2 else 1
+    folded = fold_lut(lut, geometry, lane_perms, interval)
+    folded = folded.reshape(L ** 4, 16, 4 * v)
+    chains = rank_chain_masks()  # (24, 5)
+    out = folded[:, chains]      # (L**4, 24, 5, 4v)
+    return np.ascontiguousarray(out).reshape(L ** 4 * 24, 5 * 4 * v)
+
+
+def rank_expand_rotations(
+    lut: np.ndarray,
+    lane_perms=None,
+    interval: int = 4,
+) -> np.ndarray:
+    """Per-rotation rank-expanded tables for non-symmetric modes (y/h/o).
+
+    Each rotation gathers with its OWN base and rank code (its taps read
+    different pixels), so rotation r gets its own (L**4 * 24, 5 * v) block
+    with the output-lane un-rotation `lane_perms[r]` pre-applied.
+
+    Returns (4, L**4 * 24, 5 * v) with lut's dtype.
+    """
+    L = 2 ** (8 - interval) + 1
+    e = expand_lut(lut, interval)  # (L**4, 16, v)
+    v = e.shape[-1]
+    chains = rank_chain_masks()
+    ec = e[:, chains]              # (L**4, 24, 5, v)
+    rots = []
+    for r in range(4):
+        er = ec[..., lane_perms[r]] if lane_perms is not None else ec
+        rots.append(
+            np.ascontiguousarray(er).reshape(L ** 4 * 24, 5 * v)
+        )
+    return np.stack(rots)
+
+
 def expand_indices(interval: int = 4) -> np.ndarray:
     """(L**4 * 16,) int32: row r*16 + m = flat(digits(r) + bits(m), clipped).
 

@@ -71,7 +71,10 @@ def test_expanded_cascade_matches_base(rng):
 @pytest.mark.parametrize("mode", ["s", "d", "y", "e", "h", "o"])
 def test_expanded_rotation_ensemble(mode, rng):
     lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, 16)), jnp.int32)
-    eluts = prepare_expanded_luts({"k": lut})
+    # rank=False: this test pins the 16-corner per-rotation format, which
+    # rotation_ensemble_lanes_int consumes directly (the rank-expanded
+    # format goes through the folded/quad wrappers — test_folded_engine).
+    eluts = prepare_expanded_luts({"k": lut}, rank=False)
     img = jnp.asarray(rng.integers(0, 256, (1, 8, 9)), jnp.int32)
     a = np.asarray(rotation_ensemble_lanes_int(
         lut, img, mode=mode, upscale=4, interval=4))

@@ -82,8 +82,10 @@ def test_folded_tie_patterns(rng):
 def test_quad_matches_per_rotation(mode, v, rng):
     up = int(round(v ** 0.5))
     lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, v)), jnp.int32)
+    # rank=False pins the 16-corner quad format (the rank-expanded quad has
+    # its own parity test below).
     eluts = prepare_expanded_luts({f"s9_{mode}" if v > 1 else f"s1_{mode}":
-                                   lut})
+                                   lut}, rank=False)
     elut = next(iter(eluts.values()))
     img = jnp.asarray(rng.integers(0, 256, (2, 8, 10)), jnp.int32)
     a = np.asarray(rotation_ensemble_lanes_int(
@@ -95,12 +97,26 @@ def test_quad_matches_per_rotation(mode, v, rng):
 
 @pytest.mark.parametrize("mode", list(TAPS))
 def test_prepare_expanded_formats(mode, rng):
-    """prepare_expanded_luts picks folded rows for symmetric modes,
-    int32-widened or per-rotation copies otherwise."""
+    """prepare_expanded_luts picks rank-expanded rows for wide (v>1)
+    tables, folded/int32-widened 16-corner rows for v=1."""
     for v in (1, 16):
         lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, v)), jnp.int32)
         out = prepare_expanded_luts({f"s1_{mode}": lut})[f"s1_{mode}"]
-        if fold_geometry(mode) is not None:
+        sym = fold_geometry(mode) is not None
+        if sym and v == 1:
+            assert out.shape == (17 ** 4, 64) and out.dtype == jnp.int8
+        elif sym:
+            assert out.shape == (17 ** 4 * 24, 20 * v)
+            assert out.dtype == jnp.int8
+        elif v == 1:
+            assert out.shape == (17 ** 4, 16) and out.dtype == jnp.int32
+        else:
+            assert out.shape == (4, 17 ** 4 * 24, 5 * v)
+            assert out.dtype == jnp.int8
+        # 16-corner fallback (memory-bounded configs)
+        out = prepare_expanded_luts({f"s1_{mode}": lut},
+                                    rank=False)[f"s1_{mode}"]
+        if sym:
             assert out.shape == (17 ** 4, 64 * v) and out.dtype == jnp.int8
         elif v == 1:
             assert out.shape == (17 ** 4, 16) and out.dtype == jnp.int32
@@ -108,32 +124,116 @@ def test_prepare_expanded_formats(mode, rng):
             assert out.shape == (4, 17 ** 4, 16 * v) and out.dtype == jnp.int8
 
 
-@pytest.mark.parametrize("n_rot,width", [(1, 4), (1, 64), (4, 16)])
-def test_simplex_contract_kernel(n_rot, width, rng):
+@pytest.mark.parametrize("mode", ["s", "d"])
+def test_rank_folded_matches_per_rotation(mode, rng):
+    """Rank-expanded (5-corner) folded tables: bit parity vs base engine."""
+    from mulut_tpu.ops.ensemble import lut_cascade_int
+
+    lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, 16)), jnp.int32)
+    geo = fold_geometry(mode)
+    perms = [lane_rotation_perm(4, r) for r in range(4)]
+    rflut = jnp.asarray(simplex_tables.rank_fold_lut(
+        np.asarray(lut).astype(np.int8), geo, perms))
+    assert rflut.shape == (17 ** 4 * 24, 5 * 4 * 16)
+    img = jnp.asarray(rng.integers(0, 256, (2, 9, 11)), jnp.int32)
+    a = np.asarray(rotation_ensemble_lanes_int(
+        lut, img, mode=mode, upscale=4, interval=4))
+    b = np.asarray(rotation_ensemble_lanes_folded_int(
+        rflut, img, mode=mode, upscale=4, interval=4, rank=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rank_folded_tie_patterns(rng):
+    """Every fraction rank order incl. all ties through the rank index."""
+    lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, 4)), jnp.int32)
+    perms = [lane_rotation_perm(2, r) for r in range(4)]
+    rflut = jnp.asarray(simplex_tables.rank_fold_lut(
+        np.asarray(lut).astype(np.int8), fold_geometry("s"), perms))
+    vals = np.array(list(itertools.product([16, 17, 18], repeat=4)))
+    img = jnp.asarray(
+        np.pad(vals.reshape(81, 2, 2), ((0, 0), (0, 3), (0, 3)), mode="edge"),
+        jnp.int32,
+    )
+    a = np.asarray(rotation_ensemble_lanes_int(
+        lut, img, mode="s", upscale=2, interval=4))
+    b = np.asarray(rotation_ensemble_lanes_folded_int(
+        rflut, img, mode="s", upscale=2, interval=4, rank=True))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("mode", ["y", "h", "o"])
+def test_rank_quad_matches_per_rotation(mode, rng):
+    lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, 16)), jnp.int32)
+    perms = [lane_rotation_perm(4, r) for r in range(4)]
+    rluts = jnp.asarray(simplex_tables.rank_expand_rotations(
+        np.asarray(lut).astype(np.int8), perms))
+    assert rluts.shape == (4, 17 ** 4 * 24, 5 * 16)
+    img = jnp.asarray(rng.integers(0, 256, (2, 8, 10)), jnp.int32)
+    a = np.asarray(rotation_ensemble_lanes_int(
+        lut, img, mode=mode, upscale=4, interval=4))
+    b = np.asarray(rotation_ensemble_lanes_quad_int(
+        rluts, img, mode=mode, upscale=4, interval=4, rank=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_lehmer_roundtrip():
+    """Device Lehmer code == host Lehmer code == chain-table row order."""
+    import itertools as it
+
+    from mulut_tpu.ops.simplex import _fraction_ranks, _lehmer_code
+
+    seen = set()
+    for ranks in it.permutations(range(4)):
+        p = int(simplex_tables.lehmer_of_ranks(*ranks))
+        assert 0 <= p < 24
+        seen.add(p)
+    assert len(seen) == 24
+    # device path on exhaustive tie-heavy fractions
+    vals = np.array(list(it.product([0, 7, 15], repeat=4)))
+    f = [jnp.asarray(vals[:, k]) for k in range(4)]
+    ranks = [np.asarray(r) for r in _fraction_ranks(*f)]
+    dev = np.asarray(_lehmer_code(*f))
+    host = simplex_tables.lehmer_of_ranks(*ranks)
+    np.testing.assert_array_equal(dev, host)
+
+
+@pytest.mark.parametrize("n_terms,n_rot,width",
+                         [(16, 1, 4), (16, 1, 64), (16, 4, 16),
+                          (5, 1, 64), (5, 4, 16)])
+def test_simplex_contract_kernel(n_terms, n_rot, width, rng):
     """Pallas contraction (interpret mode off-TPU) vs the plain einsum."""
     n = 700  # not a TILE multiple: exercises the pad/slice path
     g = jnp.asarray(
-        rng.integers(-127, 128, (n, 16 * n_rot * width)), jnp.int8)
+        rng.integers(-127, 128, (n, n_terms * n_rot * width)), jnp.int8)
     lam = jnp.asarray(
-        rng.integers(0, 17, (n, 16 * n_rot)).astype(np.float32))
+        rng.integers(0, 17, (n, n_terms * n_rot)).astype(np.float32))
     out = np.asarray(simplex_contract(
         g, lam, n_rot=n_rot, width=width, interpret=True))
-    gr = np.asarray(g, np.float32).reshape(n, 16, n_rot, width)
-    lr = np.asarray(lam).reshape(n, 16, n_rot)
+    gr = np.asarray(g, np.float32).reshape(n, n_terms, n_rot, width)
+    lr = np.asarray(lam).reshape(n, n_terms, n_rot)
     want = np.einsum("nmr,nmrw->nrw", lr, gr).reshape(n, n_rot * width)
     np.testing.assert_array_equal(out, want.astype(np.int32))
 
 
-def test_folded_kernel_path(rng):
-    """kernel=True route through the folded ensemble (interpreted on CPU)."""
+@pytest.mark.parametrize("mode,rank", [("s", False), ("s", True),
+                                       ("d", False), ("y", False),
+                                       ("y", True)])
+def test_fused_flat_paths(mode, rank, rng):
+    """fused=True (flat contraction + 1-D shifted un-shift / rotation-summed
+    einsum) must be bit-identical to the unfused 6-D-slicing path."""
     lut = jnp.asarray(rng.integers(-127, 128, (17 ** 4, 16)), jnp.int32)
-    geo = fold_geometry("s")
-    perms = [lane_rotation_perm(4, r) for r in range(4)]
-    flut = jnp.asarray(simplex_tables.fold_lut(
-        np.asarray(lut).astype(np.int8), geo, perms))
-    img = jnp.asarray(rng.integers(0, 256, (1, 6, 7)), jnp.int32)
-    a = np.asarray(rotation_ensemble_lanes_folded_int(
-        flut, img, mode="s", upscale=4, interval=4))
-    b = np.asarray(rotation_ensemble_lanes_folded_int(
-        flut, img, mode="s", upscale=4, interval=4, kernel=True))
-    np.testing.assert_array_equal(a, b)
+    tab = prepare_expanded_luts(
+        {f"s1_{mode}": np.asarray(lut, np.int8)}, rank=rank
+    )[f"s1_{mode}"]
+    img = jnp.asarray(rng.integers(0, 256, (2, 9, 11)), jnp.int32)
+    want = np.asarray(rotation_ensemble_lanes_int(
+        lut, img, mode=mode, upscale=4, interval=4))
+    fn = (rotation_ensemble_lanes_folded_int
+          if fold_geometry(mode) is not None
+          else rotation_ensemble_lanes_quad_int)
+    got = np.asarray(fn(
+        tab, img, mode=mode, upscale=4, interval=4, fused=True, rank=rank))
+    np.testing.assert_array_equal(want, got)
+    unfused = np.asarray(fn(
+        tab, img, mode=mode, upscale=4, interval=4, fused=False, rank=rank))
+    np.testing.assert_array_equal(want, unfused)
