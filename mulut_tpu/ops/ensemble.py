@@ -233,7 +233,9 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
         if rank:
             lam = sorted_weights(*fr, interval=interval)
             g = jnp.take(flut, base * 24 + _lehmer_code(*fr), axis=0)
-            terms = 5
+            terms = flut.shape[1] // (4 * v)  # >= 5: rows tile-padded
+            if terms > 5:
+                lam = jnp.pad(lam, ((0, 0), (0, terms - 5)))
         else:
             lam = corner_lams(*fr, interval=interval)
             g = jnp.take(flut, base, axis=0)
@@ -449,7 +451,8 @@ def lut_cascade_int(
             folded = (
                 expanded
                 and lut.ndim == 2
-                and lut.shape[1] == (20 if rank else 64) * v
+                # rank rows may be tile-padded beyond the logical 20v
+                and (rank or lut.shape[1] == 64 * v)
                 and fold_geometry(mode) is not None
             )
             if folded:

@@ -362,10 +362,13 @@ def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
     Returns (..., h, w, 4, v) int32 per-rotation accumulators.
     """
     lead = planes[0].shape
+    terms = rflut.shape[1] // (4 * v)  # >= 5: rows may be tile-padded
     base, (fa, fb, fc, fd) = _base_and_fracs(planes, interval=interval)
     lam = sorted_weights(fa, fb, fc, fd, interval=interval)   # (N, 5)
+    if terms > 5:
+        lam = jnp.pad(lam, ((0, 0), (0, terms - 5)))
     idx = base * 24 + _lehmer_code(fa, fb, fc, fd)
-    g = jnp.take(rflut, idx, axis=0)                          # (N, 5*4*v)
+    g = jnp.take(rflut, idx, axis=0)                      # (N, terms*4*v)
     if kernel:
         from .gather_contract import simplex_contract
 
@@ -375,7 +378,7 @@ def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
         )
         return out.reshape(*lead, 4, v)
     out = jnp.einsum(
-        "nk,nkv->nv", lam, g.reshape(-1, 5, 4 * v).astype(jnp.float32)
+        "nk,nkv->nv", lam, g.reshape(-1, terms, 4 * v).astype(jnp.float32)
     )
     return out.astype(jnp.int32).reshape(*lead, 4, v)
 

@@ -307,8 +307,19 @@ def rank_fold_lut(
     folded = fold_lut(lut, geometry, lane_perms, interval)
     folded = folded.reshape(L ** 4, 16, 4 * v)
     chains = rank_chain_masks()  # (24, 5)
-    out = folded[:, chains]      # (L**4, 24, 5, 4v)
-    return np.ascontiguousarray(out).reshape(L ** 4 * 24, 5 * 4 * v)
+    out = np.ascontiguousarray(folded[:, chains])  # (L**4, 24, 5, 4v)
+    out = out.reshape(L ** 4 * 24, 5 * 4 * v)
+    # Pad rows to a whole number of 128-byte lane tiles with zero TERM
+    # blocks (consumers zero-extend the weight vector to match): a
+    # 320-byte (2.5-tile) row gathers at ~9.6 ns/row on a v5e where the
+    # 384-byte (3-tile) row gathers at ~6 ns/row — the gather loop
+    # handles only whole tiles efficiently.  Only applied when the term
+    # width 4v divides the tile size (or vice versa).
+    row = 5 * 4 * v
+    if row % 128 and (128 % (4 * v) == 0 or (4 * v) % 128 == 0):
+        target = -(-row // 128) * 128
+        out = np.pad(out, ((0, 0), (0, target - row)))
+    return out
 
 
 def rank_expand_rotations(

