@@ -175,23 +175,27 @@ def corner_lams(fa, fb, fc, fd, *, interval: int = 4):
         x.astype(jnp.float32)
         for x in (q - s0, s0 - s1, s1 - s2, s2 - s3, s3)
     ]
-    ra, rb, rc, rd = _fraction_ranks(fa, fb, fc, fd)
-    lt = {
-        x: [None] + [(r < k) for k in (1, 2, 3)] + [None]
-        for x, r in (("a", ra), ("b", rb), ("c", rc), ("d", rd))
-    }
-    lams = []
-    for m in range(16):
-        bits = ((m >> 3) & 1, (m >> 2) & 1, (m >> 1) & 1, m & 1)
-        k = sum(bits)
-        used = None
-        for x, bit in zip("abcd", bits):
-            if k in (0, 4):
-                continue  # membership test is vacuous at the path endpoints
-            cond = lt[x][k] if bit else ~lt[x][k]
-            used = cond if used is None else used & cond
-        lams.append(w[k] if used is None else jnp.where(used, w[k], 0.0))
-    return jnp.stack(lams, axis=-1)
+    ranks = _fraction_ranks(fa, fb, fc, fd)
+    # Vectorized over all 16 corners at once: broadcast (N, 1) pixel data
+    # against (1, 16) corner-constant rows so the whole thing is ONE
+    # (N, 16) elementwise fusion.  (A per-corner stack of (N,) pieces
+    # materializes sixteen 128-lane-padded (N, 1) copies when the
+    # consumer is a Pallas kernel — 1.5 GB each at 1080p.)
+    bits = np.array(
+        [[(m >> 3) & 1, (m >> 2) & 1, (m >> 1) & 1, m & 1]
+         for m in range(16)]
+    )
+    kk = jnp.asarray(bits.sum(1))                      # (16,)
+    ok = None
+    for x, r in enumerate(ranks):
+        want = jnp.asarray(bits[:, x] == 1)            # (16,)
+        cond = (r[..., None] < kk) == want
+        ok = cond if ok is None else ok & cond
+    ws = None
+    for k in range(5):
+        term = jnp.where(kk == k, w[k][..., None], 0.0)
+        ws = term if ws is None else ws + term
+    return jnp.where(ok, ws, 0.0)
 
 
 def _base_and_fracs(planes, *, interval: int):
@@ -266,8 +270,7 @@ def simplex_planes_expanded_int(elut, planes, *, v: int, interval: int = 4):
     return out.astype(jnp.int32).reshape(*lead, v)
 
 
-def simplex_planes_folded_int(flut, planes, *, v: int, interval: int = 4,
-                              kernel: bool = False):
+def simplex_planes_folded_int(flut, planes, *, v: int, interval: int = 4):
     """Rotation-folded single-gather simplex interpolation.
 
     The four rotations of a 90-degree-symmetric tap pattern read the same
@@ -279,11 +282,10 @@ def simplex_planes_folded_int(flut, planes, *, v: int, interval: int = 4,
     the k-th simplex corner is the mask of the k largest fractions, which
     is frame-independent.
 
-    The 16-corner contraction runs as 16 contiguous (N, 4*v) fused
-    multiply-adds over the gathered int8 row (m-major column order); with
-    kernel=True they execute inside a Pallas row-tile kernel whose f32
-    accumulator never leaves VMEM (`gather_contract.simplex_contract` —
-    at XLA scope the accumulator re-materializes per corner term).
+    The 16-corner contraction runs as ONE einsum over the gathered int8
+    row (m-major column order): XLA fuses the gather + int8 convert into
+    the contraction loop.  Pallas consumers were tried and measured
+    SLOWER three different ways — see PERF.md "negative results".
 
     Args:
       flut: (L**4, 16 * 4 * v) int8 folded table (device array).
@@ -302,17 +304,6 @@ def simplex_planes_folded_int(flut, planes, *, v: int, interval: int = 4,
     lam = corner_lams(fa, fb, fc, fd, interval=interval)  # (N, 16)
     g = jnp.take(flut, base, axis=0)                      # (N, 16*4*v) int8
     width = 4 * v
-    if kernel:
-        from .gather_contract import simplex_contract
-
-        out = simplex_contract(
-            g, lam, n_rot=1, width=width,
-            interpret=jax.default_backend() != "tpu",
-        )
-        return out.reshape(*lead, 4, v)
-    # einsum (not a hand-rolled FMA chain): XLA fuses the gather + int8
-    # convert into the contraction loop; the unrolled chain re-slices the
-    # gather 16x (52 vs 33 ms per 1080p stage-mode on a v5e).
     out = jnp.einsum(
         "nm,nmv->nv", lam, g.reshape(-1, 16, width).astype(jnp.float32)
     )
@@ -349,8 +340,7 @@ def sorted_weights(fa, fb, fc, fd, *, interval: int = 4):
 
 
 def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
-                                   interval: int = 4,
-                                   kernel: bool = False):
+                                   interval: int = 4):
     """Rank-expanded rotation-folded interpolation: 5-corner rows.
 
     Like `simplex_planes_folded_int` but over `simplex_tables.rank_fold_lut`
@@ -369,14 +359,6 @@ def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
         lam = jnp.pad(lam, ((0, 0), (0, terms - 5)))
     idx = base * 24 + _lehmer_code(fa, fb, fc, fd)
     g = jnp.take(rflut, idx, axis=0)                      # (N, terms*4*v)
-    if kernel:
-        from .gather_contract import simplex_contract
-
-        out = simplex_contract(
-            g, lam, n_rot=1, width=4 * v,
-            interpret=jax.default_backend() != "tpu",
-        )
-        return out.reshape(*lead, 4, v)
     out = jnp.einsum(
         "nk,nkv->nv", lam, g.reshape(-1, terms, 4 * v).astype(jnp.float32)
     )
@@ -406,19 +388,17 @@ def simplex_planes_rank_quad_int(rluts4, planes4, *, v: int,
     return out.astype(jnp.int32).reshape(*lead, v)
 
 
-def simplex_planes_quad_int(luts4, planes4, *, v: int, interval: int = 4,
-                            kernel: bool = False):
-    """All 4 rotations of a NON-symmetric mode in one fused contraction.
+def simplex_planes_quad_int(luts4, planes4, *, v: int, interval: int = 4):
+    """All 4 rotations of a NON-symmetric mode, rotation-summed.
 
     y/h/o tap patterns have no 90-degree symmetry, so each rotation keeps
     its own gather (different pixels -> different table rows; the
     per-rotation tables differ only by the baked-in output-lane
-    permutation).  The trick: the rotation SUM commutes with the corner
-    contraction, so the four gathered row sets concatenate CONTIGUOUSLY
-    ([r][m][v] — XLA writes each gather straight into its slice of one
-    buffer, no interleave relayout) and ONE einsum over all 64 (r, m)
-    pairs produces the rotation-summed result directly.  One einsum's
-    fixed overhead instead of four (131 -> ~60 ms per 1080p stage-mode).
+    permutation).  The rotation SUM commutes with the corner contraction,
+    so the four per-rotation einsums accumulate straight into one (N, v)
+    buffer (in exact integer-valued f32).  The einsums stay SEPARATE —
+    concatenating the gathers first tempts XLA into materializing a
+    full-width upcast copy of all four (12 GB HLO temp, observed OOM).
 
     Args:
       luts4: (4, L**4, 16 * v) per-rotation expanded tables (or a shared
@@ -429,7 +409,6 @@ def simplex_planes_quad_int(luts4, planes4, *, v: int, interval: int = 4,
     Returns:
       (..., h, w, v) int32 rotation-summed accumulator.
     """
-    del kernel  # Pallas contraction measured slower than the fused einsum
     lead = planes4[0][0].shape
     out = None
     for r in range(4):

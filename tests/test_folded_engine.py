@@ -21,7 +21,6 @@ from mulut_tpu.ops.ensemble import (
     rotation_ensemble_lanes_int,
     rotation_ensemble_lanes_quad_int,
 )
-from mulut_tpu.ops.gather_contract import simplex_contract
 from mulut_tpu.ops.taps import TAPS, fold_geometry, lane_rotation_perm
 
 
@@ -195,24 +194,6 @@ def test_lehmer_roundtrip():
     dev = np.asarray(_lehmer_code(*f))
     host = simplex_tables.lehmer_of_ranks(*ranks)
     np.testing.assert_array_equal(dev, host)
-
-
-@pytest.mark.parametrize("n_terms,n_rot,width",
-                         [(16, 1, 4), (16, 1, 64), (16, 4, 16),
-                          (5, 1, 64), (5, 4, 16)])
-def test_simplex_contract_kernel(n_terms, n_rot, width, rng):
-    """Pallas contraction (interpret mode off-TPU) vs the plain einsum."""
-    n = 700  # not a TILE multiple: exercises the pad/slice path
-    g = jnp.asarray(
-        rng.integers(-127, 128, (n, n_terms * n_rot * width)), jnp.int8)
-    lam = jnp.asarray(
-        rng.integers(0, 17, (n, n_terms * n_rot)).astype(np.float32))
-    out = np.asarray(simplex_contract(
-        g, lam, n_rot=n_rot, width=width, interpret=True))
-    gr = np.asarray(g, np.float32).reshape(n, n_terms, n_rot, width)
-    lr = np.asarray(lam).reshape(n, n_terms, n_rot)
-    want = np.einsum("nmr,nmrw->nrw", lr, gr).reshape(n, n_rot * width)
-    np.testing.assert_array_equal(out, want.astype(np.int32))
 
 
 @pytest.mark.parametrize("mode,rank", [("s", False), ("s", True),
