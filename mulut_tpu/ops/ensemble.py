@@ -474,3 +474,77 @@ def lut_cascade_int(
         mixed = stage_mix(acc, q=q, avg_factor=avg_factor, bias=bias)
         x = _interleave(mixed, upscale) if upscale > 1 else mixed[..., 0]
     return x
+
+
+def lut_cascade_banded(
+    luts: dict,
+    img,
+    *,
+    stages: int,
+    modes: str,
+    scale: int,
+    interval: int = 4,
+    expanded: bool = False,
+    fused: bool = True,
+    band: int = 128,
+):
+    """Row-banded cascade for LARGE single images (streams HBM).
+
+    The untiled cascade materializes ~1 KB of gathered corner bytes per
+    input pixel per wide stage-mode; a 4K input would need >25 GB of HBM
+    temporaries.  This variant scans over horizontal bands of `band` rows
+    with a `halo` of extra rows per side — the cascade's receptive field
+    is bounded by the per-stage tap pad, so band-edge contamination from
+    the per-band edge padding stays inside the halo and is cropped,
+    making the result BIT-IDENTICAL to the untiled cascade (same
+    construction as `models.srnet.srnets_predict_tiled`; replaces the
+    reference's per-image process fan-out for big inputs,
+    ref: sr/4_test_lut.py:257-259).
+
+    Args:
+      img: (..., H, W) int32; H is padded internally to a band multiple.
+      band: rows per scan step (compiled size; larger = fewer dispatches,
+        more HBM per step).
+    """
+    import jax
+
+    halo = sum(max(mode_pad(m) for m in modes) for _ in range(stages))
+    h = img.shape[-2]
+    w = img.shape[-1]
+    slab_h = band + 2 * halo
+    if h <= slab_h:
+        return lut_cascade_int(
+            luts, img, stages=stages, modes=modes, scale=scale,
+            interval=interval, expanded=expanded, fused=fused,
+        )
+    n_bands = -(-h // band)
+    axis = img.ndim - 2
+
+    # Slabs are clamped INTO the image (same construction as
+    # srnet.srnets_predict_tiled): a halo of edge-replicated rows would
+    # NOT reproduce the untiled result at true image edges — the cascade
+    # of a replicated row differs from the replica of the cascade's row
+    # (stage 1 evaluated on replicas sees a shifted window).  With
+    # clamping, a slab boundary at a true edge coincides with the image
+    # boundary so the cascade's own padding applies exactly; interior
+    # contamination stays within `halo` and is cropped.  When band does
+    # not divide h the last band overlaps — overwrites are identical.
+    def one_band(i, out_buf):
+        kept0 = jnp.minimum(i * band, h - band)
+        start = jnp.clip(kept0 - halo, 0, h - slab_h)
+        slab = jax.lax.dynamic_slice_in_dim(img, start, slab_h, axis=axis)
+        out = lut_cascade_int(
+            luts, slab, stages=stages, modes=modes, scale=scale,
+            interval=interval, expanded=expanded, fused=fused,
+        )
+        out = jax.lax.dynamic_slice_in_dim(
+            out, (kept0 - start) * scale, band * scale, axis=axis
+        )
+        return jax.lax.dynamic_update_slice_in_dim(
+            out_buf, out, kept0 * scale, axis=axis
+        )
+
+    out_buf = jnp.zeros(
+        img.shape[:-2] + (h * scale, w * scale), jnp.int32
+    )
+    return jax.lax.fori_loop(0, n_bands, one_band, out_buf)

@@ -31,29 +31,45 @@ class LutEvaluator:
     """
 
     def __init__(self, luts: dict, *, stages: int, modes: str, scale: int,
-                 interval: int = 4, bucket: int = 0):
+                 interval: int = 4, bucket: int = 0, band: int = 0):
         self.stages = stages
         self.modes = modes
         self.scale = scale
         self.interval = interval
         self.bucket = bucket
+        self.band = band
         # Tables ride as jit ARGUMENTS (device buffers), not closure
         # constants — baked-in constants of this size blow remote-compile
         # request limits (and re-upload per compiled shape).
         self.luts = jax.device_put(prepare_expanded_luts(luts,
                                                          interval=interval))
 
+        # Outputs leave the device as uint8: the cascade's int32 result is
+        # already in [0, 255], and a device-side cast quarters the
+        # device-to-host bytes (an 8K output is 1.6 GB as int32 — minutes
+        # through a remote-device tunnel, seconds as uint8).
         @jax.jit
         def _run_tabs(tabs, img):
-            return lut_cascade_int(tabs, img, stages=stages, modes=modes,
-                                   scale=scale, interval=interval,
-                                   expanded=True)
+            if band:
+                # large-image slab streaming (bounds HBM temporaries;
+                # bit-identical — see ops.ensemble.lut_cascade_banded)
+                from ..ops.ensemble import lut_cascade_banded
+
+                out = lut_cascade_banded(
+                    tabs, img, stages=stages, modes=modes, scale=scale,
+                    interval=interval, expanded=True, band=band)
+            else:
+                out = lut_cascade_int(tabs, img, stages=stages,
+                                      modes=modes, scale=scale,
+                                      interval=interval, expanded=True)
+            return out.astype(jnp.uint8)
 
         @jax.jit
         def _run_bucketed_tabs(tabs, img, h, w):
-            return lut_cascade_int(tabs, img, stages=stages, modes=modes,
-                                   scale=scale, interval=interval,
-                                   expanded=True, valid_hw=(h, w))
+            out = lut_cascade_int(tabs, img, stages=stages, modes=modes,
+                                  scale=scale, interval=interval,
+                                  expanded=True, valid_hw=(h, w))
+            return out.astype(jnp.uint8)
 
         self._run = functools.partial(_run_tabs, self.luts)
         self._run_bucketed = functools.partial(_run_bucketed_tabs, self.luts)
@@ -61,11 +77,11 @@ class LutEvaluator:
     @classmethod
     def from_folder(cls, lut_folder: str, *, stages: int = 2, modes: str = "sdy",
                     scale: int = 4, interval: int = 4, lut_name: str = "LUT_ft",
-                    bucket: int = 0):
+                    bucket: int = 0, band: int = 0):
         luts = load_luts(lut_folder, stages=stages, modes=modes, scale=scale,
                          interval=interval, name=lut_name)
         return cls(luts, stages=stages, modes=modes, scale=scale,
-                   interval=interval, bucket=bucket)
+                   interval=interval, bucket=bucket, band=band)
 
     def upscale(self, img_lr: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 LR -> (H*scale, W*scale, 3) uint8 SR.
@@ -75,7 +91,8 @@ class LutEvaluator:
         compiled program per bucket shape serves every image size below it,
         with bit-identical output.
         """
-        chw = img_lr.astype(np.int32).transpose(2, 0, 1)
+        # ship uint8; the cascade casts to int32 on device (4x less H2D)
+        chw = img_lr.transpose(2, 0, 1)
         if not self.bucket:
             out = np.asarray(self._run(jnp.asarray(chw)))
             return out.transpose(1, 2, 0).astype(np.uint8)
@@ -97,7 +114,7 @@ class LutEvaluator:
         Batched same-shape throughput path (the per-chip bench shape); for
         mixed sizes use `upscale` with a bucket.
         """
-        chw = jnp.asarray(imgs_lr.astype(np.int32).transpose(0, 3, 1, 2))
+        chw = jnp.asarray(imgs_lr.transpose(0, 3, 1, 2))  # uint8 H2D
         out = np.asarray(self._run(chw))
         return out.transpose(0, 2, 3, 1).astype(np.uint8)
 
@@ -126,7 +143,7 @@ class LutEvaluator:
         for (hb, wb), idxs in groups.items():
             batch = np.stack([
                 np.pad(
-                    imgs_lr[i].astype(np.int32).transpose(2, 0, 1),
+                    imgs_lr[i].transpose(2, 0, 1),  # uint8 H2D
                     [(0, 0),
                      (0, hb - imgs_lr[i].shape[0]),
                      (0, wb - imgs_lr[i].shape[1])],
@@ -291,6 +308,7 @@ def run_test(opt, datasets=("Set5",)) -> dict:
         opt.expDir, stages=opt.stages, modes=opt.modes, scale=opt.scale,
         interval=opt.interval, lut_name=opt.lutName,
         bucket=getattr(opt, "evalBucket", 0),
+        band=getattr(opt, "evalBand", 0),
     )
     exp_name = opt.expDir.rstrip("/").split("/")[-1]
     summary = {}

@@ -208,4 +208,9 @@ class TestOptions(BaseOptions):
                                  "(one compiled program serves many image "
                                  "sizes; output bit-identical; 0 = exact "
                                  "shapes)")
+        parser.add_argument("--evalBand", type=int, default=0,
+                            help="row-band large images through the cascade "
+                                 "in slabs of this many rows (bounds HBM "
+                                 "temporaries for >1080p inputs; output "
+                                 "bit-identical; 0 = untiled)")
         return parser

@@ -51,3 +51,25 @@ def test_batched_bucketed_equals_exact(small_luts):
     for img, out, hw in zip(imgs, outs, sizes):
         np.testing.assert_array_equal(exact.upscale(img), out,
                                       err_msg=str(hw))
+
+
+def test_banded_cascade_bit_exact(small_luts):
+    """lut_cascade_banded == lut_cascade_int, any size/band (halo crop)."""
+    import jax.numpy as jnp
+
+    from mulut_tpu.ops.ensemble import (
+        lut_cascade_banded,
+        lut_cascade_int,
+        prepare_expanded_luts,
+    )
+
+    rng = np.random.default_rng(17)
+    eluts = prepare_expanded_luts(small_luts)
+    for hw in ((30, 12), (16, 9), (33, 7)):
+        img = jnp.asarray(rng.integers(0, 256, (2,) + hw), jnp.int32)
+        want = np.asarray(lut_cascade_int(
+            eluts, img, stages=2, modes="sdy", scale=4, expanded=True))
+        got = np.asarray(lut_cascade_banded(
+            eluts, img, stages=2, modes="sdy", scale=4, expanded=True,
+            band=8))
+        np.testing.assert_array_equal(want, got, err_msg=str(hw))

@@ -100,3 +100,34 @@ def test_torch_import_matches_torch_conv_math(rng):
 
     j_out = np.asarray(apply_mulut_unit(params["s2_s"], jnp.asarray(vals.reshape(16, 4))))
     np.testing.assert_allclose(t_out, j_out, atol=5e-5)
+
+
+def test_mulut_c_unit_matches_torch_conv_math(rng):
+    """apply_mulut_c_unit vs an independent torch 1x1-conv evaluation of
+    the same weights (MuLUTcUnit, ref: common/network.py:108-133)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from mulut_tpu.models.blocks import apply_mulut_c_unit, init_mulut_c_unit
+
+    params = init_mulut_c_unit(jax.random.PRNGKey(5), nf=8)
+    rgb = rng.random((6, 3, 4, 5)).astype(np.float32)  # NCHW torch-side
+
+    def conv1x1(x, w, b):
+        # our dense weights are (in, out); torch conv wants (out, in, 1, 1)
+        wt = torch.tensor(np.asarray(w).T[:, :, None, None])
+        return TF.conv2d(x, wt, torch.tensor(np.asarray(b)))
+
+    x = TF.relu(conv1x1(torch.tensor(rgb), params["w1"], params["b1"]))
+    for i in range(2, 6):
+        feat = TF.relu(conv1x1(x, params[f"w{i}"], params[f"b{i}"]))
+        x = torch.cat([x, feat], 1)
+    t_out = torch.tanh(
+        conv1x1(x, params["w6"], params["b6"])
+    ).numpy().transpose(0, 2, 3, 1)
+
+    j_out = np.asarray(
+        apply_mulut_c_unit(params, jnp.asarray(rgb.transpose(0, 2, 3, 1)))
+    )
+    assert j_out.shape == (6, 4, 5, 3)
+    np.testing.assert_allclose(t_out, j_out, atol=5e-5)
