@@ -44,6 +44,42 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def op_breakdown(trace_dir: str, top: int = 20) -> list:
+    """Aggregate per-HLO-op device time from a jax.profiler trace.
+
+    Parses the perfetto JSON (`plugins/profile/*/*.trace.json.gz`) that
+    `trace()` / jax.profiler write — this works even through remote-device
+    tunnels where TensorBoard is unavailable, and is how every round-2
+    kernel decision in PERF.md was measured.
+
+    Returns [(total_ms, op_name, hlo_long_name)] sorted by time, summed
+    over all executions in the trace (divide by your run count).
+    """
+    import glob
+    import gzip
+    import json
+
+    files = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                  recursive=True)
+    )
+    if not files:
+        return []
+    events = json.load(gzip.open(files[-1]))["traceEvents"]
+    agg: dict = {}
+    for e in events:
+        args = e.get("args") or {}
+        if e.get("ph") == "X" and "dur" in e and args.get("hlo_category"):
+            name = e.get("name", "?")
+            entry = agg.setdefault(name, [0.0, args.get("long_name", "")])
+            entry[0] += e["dur"] / 1e3
+    rows = sorted(
+        ((ms, name, long_name) for name, (ms, long_name) in agg.items()),
+        reverse=True,
+    )
+    return rows[:top]
+
+
 def device_time(fn, *args, n: int = 4) -> float:
     """Marginal seconds per `fn(*args)` execution, tunnel-safe.
 

@@ -105,3 +105,30 @@ def test_checkpoint_roundtrip(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(params[k][name]), np.asarray(loaded[k][name])
             )
+
+
+def test_op_breakdown_parses_trace(tmp_path):
+    """op_breakdown aggregates device op durations from a perfetto trace."""
+    import gzip
+    import json
+    import os
+
+    from mulut_tpu.utils.profiling import op_breakdown
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    os.makedirs(d)
+    events = [
+        {"ph": "X", "name": "fusion.1", "dur": 1500,
+         "args": {"hlo_category": "loop fusion", "long_name": "%fusion.1"}},
+        {"ph": "X", "name": "fusion.1", "dur": 500,
+         "args": {"hlo_category": "loop fusion", "long_name": "%fusion.1"}},
+        {"ph": "X", "name": "copy.2", "dur": 800,
+         "args": {"hlo_category": "data formatting", "long_name": "%copy.2"}},
+        {"ph": "X", "name": "host thing", "dur": 9999, "args": {}},  # skipped
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    rows = op_breakdown(str(tmp_path))
+    assert rows[0][:2] == (2.0, "fusion.1")
+    assert rows[1][:2] == (0.8, "copy.2")
+    assert op_breakdown(str(tmp_path / "nope")) == []
