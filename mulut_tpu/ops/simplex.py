@@ -499,13 +499,71 @@ def simplex_planes_diff(w127, planes, *, interval: int = 4):
 
 def expand_weight(w127, *, interval: int = 4):
     """Differentiable corner expansion: (L**4, v) -> (L**4, 16*v).
+    (Keyword-friendly wrapper; see `_expand_weight` for the math and the
+    custom forward/backward.)"""
+    return _expand_weight(w127, interval)
 
-    One gather from the trainable table; its backward is one segment-fold
-    instead of the five per-corner scatters the naive path needs per tapset.
+
+def _shift_fwd(x, axis):
+    """(S x) along a digit axis: out[i] = x[min(i+1, L-1)]."""
+    L = x.shape[axis]
+    hi = jax.lax.slice_in_dim(x, 1, L, axis=axis)
+    last = jax.lax.slice_in_dim(x, L - 1, L, axis=axis)
+    return jnp.concatenate([hi, last], axis=axis)
+
+
+def _shiftT(x, axis):
+    """(S^T x) along a digit axis: out[j] = x[j-1] (+ x[L-1] at j = L-1)."""
+    L = x.shape[axis]
+    lo = jax.lax.slice_in_dim(x, 0, L - 2, axis=axis)
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(x, 0, 1, axis=axis))
+    last = (jax.lax.slice_in_dim(x, L - 2, L - 1, axis=axis)
+            + jax.lax.slice_in_dim(x, L - 1, L, axis=axis))
+    return jnp.concatenate([zero, lo, last], axis=axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _expand_weight(w127, interval: int = 4):
+    """Differentiable corner expansion: (L**4, v) -> (L**4, 16*v).
+
+    Exploits the expansion's tensor-product structure in BOTH directions:
+    corner mask m's rows are `w[min(digits + bits(m), L-1)]`, i.e.
+    (S (x) S (x) S (x) S) w with the per-digit shift matrix
+    S[i, j] = [j == min(i+1, L-1)] applied on m's bit dims.  The forward
+    builds all 16 corners in 4 doubling steps (one shifted copy per digit
+    dim); the backward folds the 4 bit axes with the transposed shift
+    (shift-down + accumulate-into-the-last-bin).  Pure slice/concat/add
+    vector ops — no gather rows, no scatter.  XLA's scatter-add lowering
+    for the naive gather backward runs at ~5 GB/s on TPU and dominated
+    the whole fine-tune step (~113 of 155 ms); the 1-lane gather forward
+    for v=1 tables cost another ~27 ms.
     """
-    idx = jnp.asarray(simplex_tables.expand_indices(interval))
-    L4 = w127.shape[0]
-    return jnp.take(w127, idx, axis=0).reshape(L4, -1)
+    L = 2 ** (8 - interval) + 1
+    L4, v = w127.shape
+    x = w127.reshape(L, L, L, L, v)
+    for d in range(4):
+        # insert bit axis for digit d after the existing bit axes
+        x = jnp.stack([x, _shift_fwd(x, d)], axis=4 + d)
+    return x.reshape(L4, 16 * v)
+
+
+def _expand_weight_fwd(w127, interval):
+    return _expand_weight(w127, interval), w127.shape
+
+
+def _expand_weight_bwd(interval, shape, de):
+    L = 2 ** (8 - interval) + 1
+    L4, v = shape
+    g = de.reshape(L, L, L, L, 2, 2, 2, 2, v)
+    for d in (3, 2, 1, 0):  # fold innermost bit axis first
+        bit_axis = 4 + d
+        g0 = jax.lax.index_in_dim(g, 0, axis=bit_axis, keepdims=False)
+        g1 = jax.lax.index_in_dim(g, 1, axis=bit_axis, keepdims=False)
+        g = g0 + _shiftT(g1, d)
+    return (g.reshape(L4, v),)
+
+
+_expand_weight.defvjp(_expand_weight_fwd, _expand_weight_bwd)
 
 
 def simplex_planes_expanded_diff(e127, planes, *, v: int, interval: int = 4):

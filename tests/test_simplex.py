@@ -96,3 +96,30 @@ def test_diff_path_gradient_flows_to_lut(rng):
     g = jax.grad(loss)(weight)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_expand_weight_custom_vjp_matches_autodiff(rng):
+    """The shift-transpose backward of expand_weight == the gather's
+    autodiff scatter.  Integer cotangents make both sums exact, so the
+    comparison is bitwise."""
+    import jax
+
+    from mulut_tpu.ops import simplex_tables
+    from mulut_tpu.ops.simplex import expand_weight
+
+    L = 17
+    v = 4
+    w = jnp.asarray(rng.integers(-127, 128, (L ** 4, v)).astype(np.float32))
+    cot = jnp.asarray(rng.integers(-8, 9, (L ** 4, 16 * v)).astype(np.float32))
+
+    def f_custom(w):
+        return jnp.sum(expand_weight(w, interval=4) * cot)
+
+    idx = jnp.asarray(simplex_tables.expand_indices(4))
+
+    def f_auto(w):
+        return jnp.sum(jnp.take(w, idx, axis=0).reshape(L ** 4, -1) * cot)
+
+    gc = np.asarray(jax.grad(f_custom)(w))
+    ga = np.asarray(jax.grad(f_auto)(w))
+    np.testing.assert_array_equal(gc, ga)
