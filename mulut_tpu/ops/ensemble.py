@@ -110,13 +110,14 @@ def rotation_ensemble_lanes_int(lut, img, *, mode: str, upscale: int,
 def rotation_ensemble_lanes_quad_int(lut, img, *, mode: str, upscale: int,
                                      interval: int, fused: bool = True,
                                      rank: bool = False):
-    """4-rotation ensemble of a non-symmetric mode, single fused contraction.
+    """4-rotation ensemble of a non-symmetric mode, rotation-summed.
 
     Same semantics as `rotation_ensemble_lanes_int(expanded=True)` for y/h/o
-    tables; the four per-rotation gathers feed one stacked contraction (see
-    `simplex.simplex_planes_quad_int`).  With rank=True, `lut` is the
-    (4, L**4 * 24, 5 * v) rank-expanded form from
-    `simplex_tables.rank_expand_rotations` (5-corner rows).
+    tables.  With rank=True, `lut` is the (4, L**4 * 24, 5 * v)
+    rank-expanded form from `simplex_tables.rank_expand_rotations`
+    (5-corner rows); with fused=True (default) the per-rotation
+    contractions accumulate into one FLAT (N, v) buffer, avoiding the
+    6-D spatial relayout of the unfused path.
     """
     pad = mode_pad(mode)
     xp = _pad_all(img, pad)
@@ -132,13 +133,6 @@ def rotation_ensemble_lanes_quad_int(lut, img, *, mode: str, upscale: int,
     luts4 = lut if lut.ndim == 3 else [lut] * 4
     v = upscale * upscale
     if fused and v > 1:  # v == 1 output is gather-floor-bound already
-        # Fused rotation-summed contraction: concatenate the four
-        # per-rotation gathers and weight vectors column-wise and run ONE
-        # flat contraction over all (r, m) terms — the rotation sum falls
-        # out of the accumulator (no shifts needed: each rotation gathers
-        # at its own taps, outputs are already spatially aligned), and the
-        # flat (N, v) output avoids the 6-D relayout of the per-rotation
-        # path.
         from .simplex import (
             _base_and_fracs,
             _lehmer_code,
@@ -187,7 +181,7 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
 
     Requires `taps.fold_geometry(mode)` (s, d, e) and a rotation-folded
     table from `simplex_tables.fold_lut` — or, with rank=True, the
-    rank-expanded (L**4 * 24, 5 * 4 * v) form from
+    rank-expanded (L**4 * 24, >= 5*4*v tile-padded) form from
     `simplex_tables.rank_fold_lut` (5-corner rows, 3.2x fewer bytes).
     Each rotation reads the shared 4-pixel window at a static shift, so
     the folded interpolation runs once over a slightly EXTENDED plane (all
@@ -276,7 +270,7 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
 
       * 90-degree-symmetric modes (s, d, e), v > 1: rank-expanded
         rotation-folded rows (`simplex_tables.rank_fold_lut`) of shape
-        (L**4 * 24, 5*4*v) int8 — row `base*24 + lehmer(rank)` holds
+        (L**4 * 24, 5*4*v tile-padded) int8 — row `base*24 + lehmer(rank)` holds
         exactly the 5 simplex-chain corners of all 4 rotations, with the
         output-lane un-rotation pre-applied per rotation block.  One
         gather + 5 FMAs serve the whole rotation ensemble.
