@@ -50,12 +50,15 @@ def cascade_row_sharded(
     img = shard_image_rows(mesh, jnp.asarray(img), axis)
     out_sharding = row_sharding(mesh, img.ndim, axis)
 
+    # Tables ride as jit ARGUMENTS (replicated device buffers), not
+    # closure constants — corner-expanded tables baked into the program
+    # blow remote-compile request limits.
     @jax.jit
-    def run(x):
+    def run(tabs, x):
         out = lut_cascade_int(
-            luts, x, stages=stages, modes=modes, scale=scale,
+            tabs, x, stages=stages, modes=modes, scale=scale,
             interval=interval, expanded=expanded,
         )
         return jax.lax.with_sharding_constraint(out, out_sharding)
 
-    return run(img)
+    return run(luts, img)

@@ -70,3 +70,27 @@ def test_row_sharded_cascade_bit_exact(mesh, rng):
         scale=2,
     ))
     np.testing.assert_array_equal(want, got)
+
+
+def test_row_sharded_cascade_expanded_bit_exact(mesh, rng):
+    """Row sharding over the corner-expanded engine (tables as replicated
+    jit arguments), bit-exact vs the single-device expanded cascade."""
+    from mulut_tpu.ops.ensemble import prepare_expanded_luts
+
+    luts = {}
+    for s, v in ((1, 1), (2, 4)):
+        for m in "sdy":
+            luts[f"s{s}_{m}"] = rng.integers(
+                -127, 128, (17 ** 4, v)
+            ).astype(np.int8)
+    eluts = prepare_expanded_luts(luts)
+    img = rng.integers(0, 256, (3, 16, 10))
+    want = np.asarray(lut_cascade_int(
+        eluts, jnp.asarray(img, jnp.int32), stages=2, modes="sdy", scale=2,
+        expanded=True,
+    ))
+    got = np.asarray(cascade_row_sharded(
+        mesh, eluts, jnp.asarray(img, jnp.int32), stages=2, modes="sdy",
+        scale=2, expanded=True,
+    ))
+    np.testing.assert_array_equal(want, got)
