@@ -24,6 +24,7 @@ def set5_files():
     return sorted(os.listdir(os.path.join(REF_SET5, "HR")))
 
 
+@pytest.mark.slow
 def test_set5_bit_exact_and_psnr(reference_luts, set5_files):
     luts = {k: jnp.asarray(v) for k, v in reference_luts.items()}
 

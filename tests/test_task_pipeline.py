@@ -36,6 +36,7 @@ def smooth_images():
     return gen
 
 
+@pytest.mark.slow
 def test_denoise_train_transfer_deploy(smooth_images):
     rng = np.random.default_rng(3)
     params, losses = tasks.train_dn(
