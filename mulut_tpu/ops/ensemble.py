@@ -262,6 +262,45 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
     return acc
 
 
+def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
+                                 rank: bool = True,
+                                 cache_dir: str | None = None) -> dict:
+    """`prepare_expanded_luts` with a host-side disk cache.
+
+    Building the rank-expanded tables costs minutes of host time (three
+    641 MB fancy-index passes on this class of machine) per evaluator
+    construction; the result is a pure function of the int8 tables, so it
+    caches to one .npz keyed by a hash of (tables, interval, rank).
+    Cache location: `cache_dir`, else $MULUT_CACHE_DIR, else
+    /tmp/mulut_tpu_cache.  Never writes next to the source LUTs (which
+    may live in a read-only reference tree).
+    """
+    import hashlib
+    import os
+
+    cache_dir = cache_dir or os.environ.get(
+        "MULUT_CACHE_DIR", "/tmp/mulut_tpu_cache"
+    )
+    h = hashlib.sha256()
+    h.update(f"v2:{interval}:{rank}".encode())
+    for key in sorted(luts):
+        arr = np.ascontiguousarray(np.asarray(luts[key], np.int8))
+        h.update(key.encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    path = os.path.join(cache_dir, f"expanded_{h.hexdigest()[:24]}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: jnp.asarray(z[k]) for k in z.files}
+    out = prepare_expanded_luts(luts, interval=interval, rank=rank)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:  # file handle: savez won't append ".npz"
+        np.savez(f, **{k: np.asarray(v) for k, v in out.items()})
+    os.replace(tmp, path)  # atomic: concurrent builders race benignly
+    return out
+
+
 def prepare_expanded_luts(luts: dict, *, interval: int = 4,
                           rank: bool = True) -> dict:
     """Host-side: corner-expanded device tables, rotation-folded when legal.

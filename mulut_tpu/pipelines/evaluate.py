@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ensemble import lut_cascade_int, prepare_expanded_luts
+from ..ops.ensemble import lut_cascade_int, prepare_expanded_luts_cached
 from ..utils.imgio import load_image, save_image
 from ..utils.lut_io import load_luts
 from ..utils.metrics import modcrop, psnr_ssim_y
@@ -40,9 +40,12 @@ class LutEvaluator:
         self.band = band
         # Tables ride as jit ARGUMENTS (device buffers), not closure
         # constants — baked-in constants of this size blow remote-compile
-        # request limits (and re-upload per compiled shape).
-        self.luts = jax.device_put(prepare_expanded_luts(luts,
-                                                         interval=interval))
+        # request limits (and re-upload per compiled shape).  The host-side
+        # expansion itself is disk-cached (minutes of build time per
+        # construction otherwise).
+        self.luts = jax.device_put(
+            prepare_expanded_luts_cached(luts, interval=interval)
+        )
 
         # Outputs leave the device as uint8: the cascade's int32 result is
         # already in [0, 255], and a device-side cast quarters the

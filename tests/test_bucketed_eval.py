@@ -73,3 +73,26 @@ def test_banded_cascade_bit_exact(small_luts):
             eluts, img, stages=2, modes="sdy", scale=4, expanded=True,
             band=8))
         np.testing.assert_array_equal(want, got, err_msg=str(hw))
+
+
+def test_prepare_expanded_cache_roundtrip(small_luts, tmp_path):
+    """Disk-cached expansion == fresh expansion, and the second call hits
+    the cache (no rebuild)."""
+    from mulut_tpu.ops.ensemble import (
+        prepare_expanded_luts,
+        prepare_expanded_luts_cached,
+    )
+
+    sub = {"s1_s": small_luts["s1_s"], "s1_y": small_luts["s1_y"]}
+    fresh = prepare_expanded_luts(sub)
+    cached1 = prepare_expanded_luts_cached(sub, cache_dir=str(tmp_path))
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1
+    mtime = files[0].stat().st_mtime_ns
+    cached2 = prepare_expanded_luts_cached(sub, cache_dir=str(tmp_path))
+    assert files[0].stat().st_mtime_ns == mtime  # not rebuilt
+    for k in fresh:
+        np.testing.assert_array_equal(np.asarray(fresh[k]),
+                                      np.asarray(cached1[k]))
+        np.testing.assert_array_equal(np.asarray(fresh[k]),
+                                      np.asarray(cached2[k]))
