@@ -31,7 +31,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mulut_tpu.ops.ensemble import lut_cascade_int, prepare_expanded_luts
+    from mulut_tpu.ops.ensemble import (
+        lut_cascade_int,
+        prepare_expanded_luts_cached,
+    )
 
     scale, stages, modes, interval = 4, 2, "sdy", 4
     L = 2 ** (8 - interval) + 1
@@ -53,7 +56,7 @@ def main():
             except OSError:
                 arr = rng.integers(-127, 128, (L ** 4, v), dtype=np.int64)
             luts[f"s{s + 1}_{m}"] = arr.astype(np.int8)
-    eluts = prepare_expanded_luts(luts, interval=interval)
+    eluts = prepare_expanded_luts_cached(luts, interval=interval)
 
     img = jnp.asarray(
         rng.integers(0, 256, (B, 3, H, W), dtype=np.int64), jnp.int32
