@@ -274,6 +274,11 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     Cache location: `cache_dir`, else $MULUT_CACHE_DIR, else
     /tmp/mulut_tpu_cache.  Never writes next to the source LUTs (which
     may live in a read-only reference tree).
+
+    Entries can reach multiple GB (rank tables are ~770 MB per wide
+    stage-mode), so after each write the directory is pruned
+    oldest-access-first down to $MULUT_CACHE_GB (default 24) — LUT sweeps
+    no longer accumulate unbounded disk.
     """
     import hashlib
     import os
@@ -291,14 +296,46 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     path = os.path.join(cache_dir, f"expanded_{h.hexdigest()[:24]}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
-            return {k: jnp.asarray(z[k]) for k in z.files}
+            return {k: z[k] for k in z.files}
     out = prepare_expanded_luts(luts, interval=interval, rank=rank)
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "wb") as f:  # file handle: savez won't append ".npz"
         np.savez(f, **{k: np.asarray(v) for k, v in out.items()})
     os.replace(tmp, path)  # atomic: concurrent builders race benignly
+    _prune_cache_dir(cache_dir, keep=path)
     return out
+
+
+def _prune_cache_dir(cache_dir: str, *, keep: str,
+                     max_bytes: int | None = None) -> None:
+    """Evict oldest-accessed cache entries beyond the size cap."""
+    import os
+
+    if max_bytes is None:
+        max_bytes = int(
+            float(os.environ.get("MULUT_CACHE_GB", "24")) * 1e9
+        )
+    try:
+        entries = [
+            os.path.join(cache_dir, f)
+            for f in os.listdir(cache_dir)
+            if f.startswith("expanded_") and f.endswith(".npz")
+        ]
+        stats = []
+        for p in entries:
+            st = os.stat(p)
+            stats.append((st.st_atime, st.st_size, p))
+        total = sum(s for _, s, _ in stats)
+        for _, size, p in sorted(stats):
+            if total <= max_bytes:
+                break
+            if os.path.abspath(p) == os.path.abspath(keep):
+                continue
+            os.remove(p)
+            total -= size
+    except OSError:
+        pass  # cache hygiene is best-effort; never fail the build
 
 
 def prepare_expanded_luts(luts: dict, *, interval: int = 4,
@@ -328,6 +365,11 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
     bound table memory at small intervals: rank tables cost 24/16 * 5/16
     the rows x widths — ~640 MB per stage-2 mode at interval=4).
 
+    Returns HOST (NumPy) arrays — callers `jax.device_put` them (or pass
+    them to the jitted cascade as arguments).  Building device arrays here
+    would round-trip every table through the accelerator transport, which
+    is minutes of D2H for GB-scale tables behind a remote-device tunnel.
+
     Feed the result to `lut_cascade_int(..., expanded=True)`.
     """
     L = 2 ** (8 - interval) + 1
@@ -352,29 +394,23 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
             )
             build = (simplex_tables.rank_fold_lut if use_rank
                      else simplex_tables.fold_lut)
-            out[key] = jnp.asarray(
-                build(arr.astype(np.int8), geo, perms, interval)
-            )
+            out[key] = build(arr.astype(np.int8), geo, perms, interval)
             continue
         if use_rank:
             perms = [lane_rotation_perm(up, r) for r in range(4)]
-            out[key] = jnp.asarray(
-                simplex_tables.rank_expand_rotations(
-                    arr.astype(np.int8), perms, interval
-                )
+            out[key] = simplex_tables.rank_expand_rotations(
+                arr.astype(np.int8), perms, interval
             )
             continue
         e = simplex_tables.expand_lut(arr.astype(np.int8), interval)
         if v == 1:
-            out[key] = jnp.asarray(
-                e.reshape(e.shape[0], 16).astype(np.int32)
-            )
+            out[key] = e.reshape(e.shape[0], 16).astype(np.int32)
         else:
             copies = [
                 e[:, :, lane_rotation_perm(up, r)].reshape(e.shape[0], -1)
                 for r in range(4)
             ]
-            out[key] = jnp.asarray(np.stack(copies))
+            out[key] = np.stack(copies)
     return out
 
 
@@ -520,6 +556,7 @@ def lut_cascade_banded(
     expanded: bool = False,
     fused: bool = True,
     band: int = 128,
+    valid_hw=None,
 ):
     """Row-banded cascade for LARGE single images (streams HBM).
 
@@ -535,9 +572,16 @@ def lut_cascade_banded(
     ref: sr/4_test_lut.py:257-259).
 
     Args:
-      img: (..., H, W) int32; H is padded internally to a band multiple.
+      img: (..., H, W) int32; when H does not divide into bands, the last
+        band overlaps the previous one (identical overwrites).
       band: rows per scan step (compiled size; larger = fewer dispatches,
         more HBM per step).
+      valid_hw: optional bucketed-evaluation extents, as in
+        `lut_cascade_int` — (h, w) traced scalars or (B,) vectors.  Each
+        slab re-synchronizes its pad region with the slab-local validity
+        (rows `valid_h - start` of the slab), which composes banding with
+        bucketing bit-identically: clamping the full buffer then slicing
+        a slab equals slicing then clamping locally.
     """
     import jax
 
@@ -549,6 +593,7 @@ def lut_cascade_banded(
         return lut_cascade_int(
             luts, img, stages=stages, modes=modes, scale=scale,
             interval=interval, expanded=expanded, fused=fused,
+            valid_hw=valid_hw,
         )
     n_bands = -(-h // band)
     axis = img.ndim - 2
@@ -566,9 +611,16 @@ def lut_cascade_banded(
         kept0 = jnp.minimum(i * band, h - band)
         start = jnp.clip(kept0 - halo, 0, h - slab_h)
         slab = jax.lax.dynamic_slice_in_dim(img, start, slab_h, axis=axis)
+        slab_valid = None
+        if valid_hw is not None:
+            vh, vw = valid_hw
+            # Slab-local row validity; slabs entirely in the pad region
+            # clamp to >= 1 valid row (their output is cropped anyway).
+            slab_valid = (jnp.clip(jnp.asarray(vh) - start, 1, slab_h), vw)
         out = lut_cascade_int(
             luts, slab, stages=stages, modes=modes, scale=scale,
             interval=interval, expanded=expanded, fused=fused,
+            valid_hw=slab_valid,
         )
         out = jax.lax.dynamic_slice_in_dim(
             out, (kept0 - start) * scale, band * scale, axis=axis

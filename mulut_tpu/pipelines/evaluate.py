@@ -30,22 +30,45 @@ class LutEvaluator:
     bit-identical to the reference NumPy engine.
     """
 
+    #: Default cap on input pixels per device dispatch (batch x Hb x Wb).
+    #: The cascade's wide stages gather ~1 KB of corner bytes per input
+    #: pixel, so ~8 M input pixels ~ 8 GB of HBM temporaries on a 16 GB
+    #: chip.  Bucketed groups are chunked to stay under it; a single
+    #: image above it requires `band > 0` (raised loudly otherwise).
+    MAX_BATCH_PIXELS = 8_000_000
+
     def __init__(self, luts: dict, *, stages: int, modes: str, scale: int,
-                 interval: int = 4, bucket: int = 0, band: int = 0):
+                 interval: int = 4, bucket: int = 0, band: int = 0,
+                 max_batch_pixels: int | None = None, n_devices: int = 1):
         self.stages = stages
         self.modes = modes
         self.scale = scale
         self.interval = interval
         self.bucket = bucket
         self.band = band
+        self.max_batch_pixels = max_batch_pixels or self.MAX_BATCH_PIXELS
+        # Batch-sharded eval over a 1-D device mesh (the reference's
+        # DataParallel surface, ref: sr/1_train_model.py:141-142, extended
+        # to step 4): tables replicated, bucketed batches sharded on the
+        # leading axis — jit/GSPMD partitions the cascade; bit-identical.
+        self.n_devices = max(1, min(n_devices, jax.device_count()))
+        self.mesh = None
+        if self.n_devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(self.n_devices)
         # Tables ride as jit ARGUMENTS (device buffers), not closure
         # constants — baked-in constants of this size blow remote-compile
         # request limits (and re-upload per compiled shape).  The host-side
         # expansion itself is disk-cached (minutes of build time per
         # construction otherwise).
-        self.luts = jax.device_put(
-            prepare_expanded_luts_cached(luts, interval=interval)
-        )
+        tabs = prepare_expanded_luts_cached(luts, interval=interval)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate_tree
+
+            self.luts = replicate_tree(self.mesh, tabs)
+        else:
+            self.luts = jax.device_put(tabs)
 
         # Outputs leave the device as uint8: the cascade's int32 result is
         # already in [0, 255], and a device-side cast quarters the
@@ -69,9 +92,20 @@ class LutEvaluator:
 
         @jax.jit
         def _run_bucketed_tabs(tabs, img, h, w):
-            out = lut_cascade_int(tabs, img, stages=stages, modes=modes,
-                                  scale=scale, interval=interval,
-                                  expanded=True, valid_hw=(h, w))
+            if band:
+                # band and bucket COMPOSE: each slab of the bucketed
+                # buffer re-syncs its pad region with the slab-local
+                # validity (bit-identical; see lut_cascade_banded).
+                from ..ops.ensemble import lut_cascade_banded
+
+                out = lut_cascade_banded(
+                    tabs, img, stages=stages, modes=modes, scale=scale,
+                    interval=interval, expanded=True, band=band,
+                    valid_hw=(h, w))
+            else:
+                out = lut_cascade_int(tabs, img, stages=stages, modes=modes,
+                                      scale=scale, interval=interval,
+                                      expanded=True, valid_hw=(h, w))
             return out.astype(jnp.uint8)
 
         self._run = functools.partial(_run_tabs, self.luts)
@@ -80,14 +114,19 @@ class LutEvaluator:
     @classmethod
     def from_folder(cls, lut_folder: str, *, stages: int = 2, modes: str = "sdy",
                     scale: int = 4, interval: int = 4, lut_name: str = "LUT_ft",
-                    bucket: int = 0, band: int = 0):
+                    bucket: int = 0, band: int = 0, n_devices: int = 1):
         luts = load_luts(lut_folder, stages=stages, modes=modes, scale=scale,
                          interval=interval, name=lut_name)
         return cls(luts, stages=stages, modes=modes, scale=scale,
-                   interval=interval, bucket=bucket, band=band)
+                   interval=interval, bucket=bucket, band=band,
+                   n_devices=n_devices)
 
     def upscale(self, img_lr: np.ndarray) -> np.ndarray:
-        """(H, W, 3) uint8 LR -> (H*scale, W*scale, 3) uint8 SR.
+        """(H, W, C) or (H, W) uint8 LR -> upscaled uint8 SR (same rank).
+
+        The cascade is channel-agnostic (channels ride the batch axis), so
+        single-channel input — e.g. the luma plane of the YUV deployment
+        mode (ref: sr/Test.py:317-398) — costs 1/3 of an RGB pass.
 
         With `bucket > 0`, images are evaluated in a (ceil to bucket)-sized
         buffer with the pad region clamp-synchronized on device — ONE
@@ -95,14 +134,19 @@ class LutEvaluator:
         with bit-identical output.
         """
         # ship uint8; the cascade casts to int32 on device (4x less H2D)
+        if img_lr.ndim == 2:
+            out = self.upscale(img_lr[:, :, None])
+            return out[:, :, 0]
         chw = img_lr.transpose(2, 0, 1)
         if not self.bucket:
+            self._check_untiled_size(*chw.shape[-2:], chw.shape[0])
             out = np.asarray(self._run(jnp.asarray(chw)))
             return out.transpose(1, 2, 0).astype(np.uint8)
         h, w = chw.shape[-2:]
         bucket = self.bucket
         hb = -(-h // bucket) * bucket
         wb = -(-w // bucket) * bucket
+        self._check_untiled_size(hb, wb, chw.shape[0])
         buf = np.pad(chw, [(0, 0), (0, hb - h), (0, wb - w)], mode="edge")
         out = np.asarray(
             self._run_bucketed(
@@ -144,26 +188,75 @@ class LutEvaluator:
             groups.setdefault((hb, wb), []).append(i)
         outs: list = [None] * len(imgs_lr)
         for (hb, wb), idxs in groups.items():
-            batch = np.stack([
-                np.pad(
-                    imgs_lr[i].transpose(2, 0, 1),  # uint8 H2D
-                    [(0, 0),
-                     (0, hb - imgs_lr[i].shape[0]),
-                     (0, wb - imgs_lr[i].shape[1])],
-                    mode="edge",
+            self._check_untiled_size(hb, wb, 3)
+            # Chunk the group so one dispatch never exceeds the HBM-safe
+            # pixel cap (a dataset whose images all share a bucket shape
+            # would otherwise stack into one unbounded batch).
+            per = max(1, self.max_batch_pixels // (hb * wb * 3))
+            for c0 in range(0, len(idxs), per):
+                chunk = idxs[c0 : c0 + per]
+                batch = np.stack([
+                    np.pad(
+                        imgs_lr[i].transpose(2, 0, 1),  # uint8 H2D
+                        [(0, 0),
+                         (0, hb - imgs_lr[i].shape[0]),
+                         (0, wb - imgs_lr[i].shape[1])],
+                        mode="edge",
+                    )
+                    for i in chunk
+                ])
+                hs = np.asarray(
+                    [imgs_lr[i].shape[0] for i in chunk], np.int32
                 )
-                for i in idxs
-            ])
-            hs = jnp.asarray([imgs_lr[i].shape[0] for i in idxs], jnp.int32)
-            ws = jnp.asarray([imgs_lr[i].shape[1] for i in idxs], jnp.int32)
-            out = np.asarray(self._run_bucketed(jnp.asarray(batch), hs, ws))
-            for k, i in enumerate(idxs):
-                h, w = imgs_lr[i].shape[:2]
-                outs[i] = (
-                    out[k, :, : h * scale, : w * scale]
-                    .transpose(1, 2, 0).astype(np.uint8)
+                ws = np.asarray(
+                    [imgs_lr[i].shape[1] for i in chunk], np.int32
                 )
+                out = self._dispatch_bucketed(batch, hs, ws)
+                for k, i in enumerate(chunk):
+                    h, w = imgs_lr[i].shape[:2]
+                    outs[i] = (
+                        out[k, :, : h * scale, : w * scale]
+                        .transpose(1, 2, 0).astype(np.uint8)
+                    )
         return outs
+
+    def _dispatch_bucketed(self, batch: np.ndarray, hs: np.ndarray,
+                           ws: np.ndarray) -> np.ndarray:
+        """One bucketed device dispatch, batch-sharded over the mesh when
+        n_devices > 1 (batch padded to a device multiple by repeating the
+        last image; the replicas are cropped off — bit-identical)."""
+        n = batch.shape[0]
+        if self.mesh is None:
+            return np.asarray(
+                self._run_bucketed(
+                    jnp.asarray(batch), jnp.asarray(hs), jnp.asarray(ws)
+                )
+            )
+        from ..parallel.mesh import shard_batch
+
+        pad = -n % self.n_devices
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
+            hs = np.concatenate([hs, np.repeat(hs[-1:], pad)])
+            ws = np.concatenate([ws, np.repeat(ws[-1:], pad)])
+        b, h, w = shard_batch(self.mesh, batch, hs, ws)
+        return np.asarray(self._run_bucketed(b, h, w))[:n]
+
+    def _check_untiled_size(self, hb: int, wb: int, channels: int) -> None:
+        """Refuse to run an untiled cascade past the HBM-safe pixel cap.
+
+        Without a band, a single oversized image inside a bucketed batch
+        would dispatch the untiled cascade and can exhaust HBM; raise
+        loudly instead of OOMing mid-dataset.
+        """
+        if self.band:
+            return  # banded slabs bound the temporaries
+        if hb * wb * channels > self.max_batch_pixels:
+            raise ValueError(
+                f"image bucket {hb}x{wb} exceeds the untiled HBM-safe size "
+                f"({self.max_batch_pixels} px); pass band>0 (--evalBand) to "
+                "stream it, or raise max_batch_pixels explicitly"
+            )
 
 
 class NetEvaluator:
@@ -312,6 +405,7 @@ def run_test(opt, datasets=("Set5",)) -> dict:
         interval=opt.interval, lut_name=opt.lutName,
         bucket=getattr(opt, "evalBucket", 0),
         band=getattr(opt, "evalBand", 0),
+        n_devices=getattr(opt, "gpuNum", 1),
     )
     exp_name = opt.expDir.rstrip("/").split("/")[-1]
     summary = {}

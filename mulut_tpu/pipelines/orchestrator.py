@@ -146,11 +146,34 @@ def _test_opt(cfg: MuLutConfig):
     )
 
 
-class Pipeline:
-    """Step runner with budgets, verification, and fallback artifacts."""
+class StepTimeoutError(RuntimeError):
+    """A pipeline step exceeded its wall-clock budget."""
 
-    def __init__(self, cfg: MuLutConfig):
+
+class Pipeline:
+    """Step runner with ENFORCED budgets, verification, and fallbacks.
+
+    Budgets kill, not just flag (the reference's subprocess runner kills at
+    60/300/3600 s, ref: sr/main.py:756-788):
+
+      * default (in-process): a SIGALRM watchdog raises `StepTimeoutError`
+        inside the step at its budget.  Steps share one process — and
+        therefore one jit cache and one device — which is the right
+        TPU-native default; the alarm interrupts the step's Python loop
+        (pipeline steps iterate in Python every few tens of ms).  Only
+        armed on the main thread (POSIX signal restriction).
+      * `isolate=True`: each step runs in a forked subprocess with
+        `join(budget)` + terminate/kill — a hard kill even for steps stuck
+        inside native code, at the cost of per-step jit re-compilation
+        (closest to the reference's subprocess-per-step shape).
+
+    A timed-out step is recorded `{"timeout": true, "ok": false}`; lenient
+    (quick/test) modes continue to the next step, full mode raises.
+    """
+
+    def __init__(self, cfg: MuLutConfig, *, isolate: bool = False):
         self.cfg = cfg
+        self.isolate = isolate
         self.report: dict = {"mode": cfg.mode, "steps": {}}
 
     # -- structural verifications (ref: sr/main.py:850-1002) ---------------
@@ -190,18 +213,79 @@ class Pipeline:
 
     # -- step execution ----------------------------------------------------
 
-    def _run_step(self, name: str, fn, verify, fallback=None) -> bool:
+    def _call_with_budget(self, fn, budget: float):
+        """Run `fn()` under the budget; raise StepTimeoutError when it hits.
+
+        Returns fn's result (also from the subprocess in isolate mode, via
+        a queue — the reference's subprocess runner loses step results and
+        re-scrapes logs instead, ref: sr/main.py:1178-1186).
+        """
+        if self.isolate:
+            import multiprocessing
+            import queue as queue_mod
+
+            ctx = multiprocessing.get_context("fork")
+            q = ctx.Queue()
+
+            def _target():
+                q.put(fn())
+
+            p = ctx.Process(target=_target, daemon=True)
+            p.start()
+            p.join(budget)
+            if p.is_alive():
+                p.terminate()
+                p.join(5)
+                if p.is_alive():
+                    p.kill()
+                    p.join()
+                raise StepTimeoutError(
+                    f"step exceeded its {budget}s budget (subprocess killed)"
+                )
+            if p.exitcode != 0:
+                raise RuntimeError(f"step subprocess exited {p.exitcode}")
+            try:
+                return q.get_nowait()
+            except queue_mod.Empty:
+                return None
+
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return fn()  # SIGALRM only works on the main thread
+
+        def _handler(signum, frame):
+            raise StepTimeoutError(f"step exceeded its {budget}s budget")
+
+        old = signal.signal(signal.SIGALRM, _handler)
+        signal.setitimer(signal.ITIMER_REAL, budget)
+        try:
+            return fn()
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old)
+
+    def _run_step(self, name: str, fn, verify, fallback=None,
+                  on_result=None) -> bool:
         budget = self.cfg.step_timeouts[self.cfg.mode]
         t0 = time.time()
-        ok, err = True, None
+        ok, err, timed_out, result = True, None, False, None
         try:
-            fn()
+            result = self._call_with_budget(fn, budget)
+        except StepTimeoutError as e:
+            ok, err, timed_out = False, str(e), True
+            if not self.cfg.lenient:
+                raise
+            traceback.print_exc()
         except Exception as e:  # noqa: BLE001 - lenient modes must survive
             ok, err = False, f"{type(e).__name__}: {e}"
             if not self.cfg.lenient:
                 raise
             traceback.print_exc()
         elapsed = time.time() - t0
+        if ok and on_result is not None and result is not None:
+            on_result(result)
         verified = verify()
         if not verified and fallback is not None and self.cfg.lenient:
             fallback()
@@ -210,8 +294,8 @@ class Pipeline:
             "ok": ok, "verified": verified, "seconds": round(elapsed, 2),
             "budget": budget, "error": err,
         }
-        if elapsed > budget:
-            self.report["steps"][name]["over_budget"] = True
+        if timed_out:
+            self.report["steps"][name]["timeout"] = True
         return ok and verified
 
     def run_complete_evaluation(self) -> dict:
@@ -251,7 +335,7 @@ class Pipeline:
             finetune(_finetune_opt(cfg))
 
         def _step_test():
-            self.report["results"] = run_test(_test_opt(cfg), datasets=("Set5",))
+            return run_test(_test_opt(cfg), datasets=("Set5",))
 
         self._run_step("training", _step_train, self._verify_training_output)
         self._run_step(
@@ -262,7 +346,10 @@ class Pipeline:
             "finetune", _step_finetune, self._verify_finetuned_lut_output,
             fallback=lambda: self._create_dummy_luts("LUT_ft"),
         )
-        self._run_step("test", _step_test, lambda: "results" in self.report)
+        self._run_step(
+            "test", _step_test, lambda: "results" in self.report,
+            on_result=lambda res: self.report.__setitem__("results", res),
+        )
         return self.report
 
 

@@ -210,6 +210,11 @@ def dm_lut_apply(lut: np.ndarray, bayer: np.ndarray, *,
     rotation ensemble — the RGGB pattern is not rotation-invariant.
     """
     q = 2 ** interval
+    if bayer.shape[0] % 2 or bayer.shape[1] % 2:
+        raise ValueError(
+            f"RGGB bayer input needs even H/W, got {bayer.shape[:2]}; "
+            "crop the mosaic to even dimensions first"
+        )
     h2, w2 = bayer.shape[0] // 2, bayer.shape[1] // 2
     x = jnp.asarray(bayer.astype(np.int32))
     planes = [x[0::2, 0::2], x[0::2, 1::2], x[1::2, 0::2], x[1::2, 1::2]]

@@ -213,4 +213,9 @@ class TestOptions(BaseOptions):
                                  "in slabs of this many rows (bounds HBM "
                                  "temporaries for >1080p inputs; output "
                                  "bit-identical; 0 = untiled)")
+        parser.add_argument("--gpuNum", "-g", type=int, default=1,
+                            help="shard bucketed eval batches over this many "
+                                 "devices (the DataParallel surface of "
+                                 "ref: sr/1_train_model.py:141-142 extended "
+                                 "to step 4; bit-identical)")
         return parser

@@ -33,9 +33,10 @@ def upscale_yuv(evaluator, img):
 
     scale = evaluator.scale
     ycc = rgb2ycbcr(img)
-    y = np.repeat(ycc[:, :, :1], 3, axis=2)
-    y = np.round(y).clip(0, 255).astype(np.uint8)
-    y_sr = evaluator.upscale(y)[:, :, 0]
+    # single-channel cascade pass: the engine is channel-agnostic, so luma
+    # costs 1/3 of an RGB pass — the YUV mode's ~3x throughput win
+    y = np.round(ycc[:, :, 0]).clip(0, 255).astype(np.uint8)
+    y_sr = evaluator.upscale(y)
     h, w = img.shape[:2]
     cbcr = np.array(
         Image.fromarray(
