@@ -28,9 +28,12 @@ import numpy as np
 
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
+    from mulut_tpu.ops import tail_kernel as tk
     from mulut_tpu.ops.ensemble import (
         lut_cascade_int,
         prepare_expanded_luts_cached,
@@ -56,7 +59,13 @@ def main():
             except OSError:
                 arr = rng.integers(-127, 128, (L ** 4, v), dtype=np.int64)
             luts[f"s{s + 1}_{m}"] = arr.astype(np.int8)
-    eluts = prepare_expanded_luts_cached(luts, interval=interval)
+    # Production engine selection mirrors pipelines.evaluate.LutEvaluator:
+    # the Pallas tail-assembly kernel (ops.tail_kernel) on TPU, the pure
+    # XLA cascade elsewhere — both bit-identical to the reference engine.
+    use_kernel = tk.supports_tail_kernel(modes, scale, interval=interval)
+    eluts = prepare_expanded_luts_cached(
+        luts, interval=interval, shared_quad=use_kernel
+    )
 
     img = jnp.asarray(
         rng.integers(0, 256, (B, 3, H, W), dtype=np.int64), jnp.int32
@@ -64,22 +73,33 @@ def main():
 
     # Tables ride as jit ARGUMENTS (device buffers), not closure constants —
     # baked-in constants of this size blow remote-compile request limits.
-    @jax.jit
-    def run(tabs, x):
-        return lut_cascade_int(
-            tabs, x, stages=stages, modes=modes, scale=scale,
-            interval=interval, expanded=True,
-        )
+    if use_kernel:
+        run = jax.jit(functools.partial(
+            tk.lut_cascade_packed, stages=stages, modes=modes,
+            scale=scale, interval=interval,
+        ))
+    else:
+        @jax.jit
+        def run(tabs, x):
+            return lut_cascade_int(
+                tabs, x, stages=stages, modes=modes, scale=scale,
+                interval=interval, expanded=True,
+            )
+
+    def sync(out):
+        # tiny device-to-host slice: forces a full drain without paying
+        # a 200 MB output transfer through a remote-device tunnel
+        np.asarray(out[:1, :1, 0, :4] if out.ndim == 4 else out[:1, 0, :4])
 
     eluts = jax.device_put(eluts)
-    np.asarray(run(eluts, img)[0, 0, 0, :4])  # compile + warm + real sync
+    sync(run(eluts, img))  # compile + warm + real sync
 
     def wall(k):
         t0 = time.perf_counter()
         out = None
         for _ in range(k):
             out = run(eluts, img)
-        np.asarray(out[0, 0, 0, :4])  # device-to-host forces full drain
+        sync(out)  # device-to-host forces full drain
         return time.perf_counter() - t0
 
     n = 4

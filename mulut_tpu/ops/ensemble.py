@@ -154,8 +154,11 @@ def rotation_ensemble_lanes_quad_int(lut, img, *, mode: str, upscale: int,
             base, fr = _base_and_fracs(planes4[r], interval=interval)
             if rank:
                 lam = sorted_weights(*fr, interval=interval)
-                g = jnp.take(luts4[r], base * 24 + _lehmer_code(*fr),
-                             axis=0)
+                g = jnp.take(
+                    luts4[r],
+                    _lehmer_code(*fr) * (luts4[r].shape[0] // 24) + base,
+                    axis=0,
+                )
             else:
                 lam = corner_lams(*fr, interval=interval)
                 g = jnp.take(luts4[r], base, axis=0)
@@ -226,7 +229,10 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
         base, fr = _base_and_fracs(planes, interval=interval)
         if rank:
             lam = sorted_weights(*fr, interval=interval)
-            g = jnp.take(flut, base * 24 + _lehmer_code(*fr), axis=0)
+            g = jnp.take(
+                flut, _lehmer_code(*fr) * (flut.shape[0] // 24) + base,
+                axis=0,
+            )
             terms = flut.shape[1] // (4 * v)  # >= 5: rows tile-padded
             if terms > 5:
                 lam = jnp.pad(lam, ((0, 0), (0, terms - 5)))
@@ -264,6 +270,7 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
 
 def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
                                  rank: bool = True,
+                                 shared_quad: bool = False,
                                  cache_dir: str | None = None) -> dict:
     """`prepare_expanded_luts` with a host-side disk cache.
 
@@ -287,7 +294,11 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
         "MULUT_CACHE_DIR", "/tmp/mulut_tpu_cache"
     )
     h = hashlib.sha256()
-    h.update(f"v2:{interval}:{rank}".encode())
+    # shared_quad extends the key only when set so pre-existing cache
+    # entries for the default layout stay valid.
+    # v3: rank tables switched to rank-major row order
+    tag = f"v3:{interval}:{rank}" + (":sq" if shared_quad else "")
+    h.update(tag.encode())
     for key in sorted(luts):
         arr = np.ascontiguousarray(np.asarray(luts[key], np.int8))
         h.update(key.encode())
@@ -297,7 +308,9 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
-    out = prepare_expanded_luts(luts, interval=interval, rank=rank)
+    out = prepare_expanded_luts(
+        luts, interval=interval, rank=rank, shared_quad=shared_quad
+    )
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "wb") as f:  # file handle: savez won't append ".npz"
@@ -339,14 +352,15 @@ def _prune_cache_dir(cache_dir: str, *, keep: str,
 
 
 def prepare_expanded_luts(luts: dict, *, interval: int = 4,
-                          rank: bool = True) -> dict:
+                          rank: bool = True,
+                          shared_quad: bool = False) -> dict:
     """Host-side: corner-expanded device tables, rotation-folded when legal.
 
     Per "s{stage}_{mode}" key:
 
       * 90-degree-symmetric modes (s, d, e), v > 1: rank-expanded
         rotation-folded rows (`simplex_tables.rank_fold_lut`) of shape
-        (L**4 * 24, 5*4*v tile-padded) int8 — row `base*24 + lehmer(rank)` holds
+        (L**4 * 24, 5*4*v tile-padded) int8 — row `lehmer(rank)*L**4 + base` holds
         exactly the 5 simplex-chain corners of all 4 rotations, with the
         output-lane un-rotation pre-applied per rotation block.  One
         gather + 5 FMAs serve the whole rotation ensemble.
@@ -397,6 +411,14 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
             out[key] = build(arr.astype(np.int8), geo, perms, interval)
             continue
         if use_rank:
+            if shared_quad:
+                # One un-permuted table serves all 4 rotations when the
+                # consumer (the Pallas tail kernel) applies the lane
+                # un-rotation itself — 4x gather locality, 1/4 the HBM.
+                out[key] = simplex_tables.rank_expand_shared(
+                    arr.astype(np.int8), interval
+                )
+                continue
             perms = [lane_rotation_perm(up, r) for r in range(4)]
             out[key] = simplex_tables.rank_expand_rotations(
                 arr.astype(np.int8), perms, interval

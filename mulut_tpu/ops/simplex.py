@@ -328,7 +328,8 @@ def sorted_weights(fa, fb, fc, fd, *, interval: int = 4):
     (q - s0, s0 - s1, s1 - s2, s2 - s3, s3) over the descending-sorted
     fractions — the weight multiset of every one of the reference's 24
     branches (ref: sr/4_test_lut.py:148-231); the rank-expanded tables
-    put the matching corner chain at `base * 24 + lehmer`.
+    put the matching corner chain at `lehmer * L**4 + base` (rank-major
+    — see simplex_tables.rank_fold_lut for why the order matters).
     """
     q = 2 ** interval
     s0, s1, s2, s3 = _sorted_fractions(fa, fb, fc, fd)
@@ -344,7 +345,7 @@ def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
     """Rank-expanded rotation-folded interpolation: 5-corner rows.
 
     Like `simplex_planes_folded_int` but over `simplex_tables.rank_fold_lut`
-    tables: the gather row at `base * 24 + lehmer(ranks)` already holds
+    tables: the gather row at `lehmer(ranks) * L**4 + base` already holds
     exactly the 5 simplex-chain corners of all 4 rotations, so the
     contraction is 5 fused multiply-adds with the sorted-difference
     weights — no corner-mask selection, 3.2x fewer gathered bytes.
@@ -357,7 +358,7 @@ def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
     lam = sorted_weights(fa, fb, fc, fd, interval=interval)   # (N, 5)
     if terms > 5:
         lam = jnp.pad(lam, ((0, 0), (0, terms - 5)))
-    idx = base * 24 + _lehmer_code(fa, fb, fc, fd)
+    idx = _lehmer_code(fa, fb, fc, fd) * (rflut.shape[0] // 24) + base
     g = jnp.take(rflut, idx, axis=0)                      # (N, terms*4*v)
     out = jnp.einsum(
         "nk,nkv->nv", lam, g.reshape(-1, terms, 4 * v).astype(jnp.float32)
@@ -379,7 +380,8 @@ def simplex_planes_rank_quad_int(rluts4, planes4, *, v: int,
         base, (fa, fb, fc, fd) = _base_and_fracs(planes4[r],
                                                  interval=interval)
         lam = sorted_weights(fa, fb, fc, fd, interval=interval)
-        idx = base * 24 + _lehmer_code(fa, fb, fc, fd)
+        idx = (_lehmer_code(fa, fb, fc, fd) * (rluts4[r].shape[0] // 24)
+               + base)
         g = jnp.take(rluts4[r], idx, axis=0)                  # (N, 5*v)
         o = jnp.einsum(
             "nk,nkv->nv", lam, g.reshape(-1, 5, v).astype(jnp.float32)

@@ -288,13 +288,21 @@ def rank_fold_lut(
 ) -> np.ndarray:
     """Rank-expanded rotation-folded table: 5 chain corners per row.
 
-    Rows are indexed by `base * 24 + lehmer(rank)`: row p of base n holds
-    exactly the 5 simplex-chain corners (in rank order) of every rotation,
-    so the device-side contraction is 5 fused multiply-adds with the
-    sorted-difference weights directly — no corner-mask selection at all.
-    3.2x fewer gathered bytes and FMA terms than `fold_lut`, for 24/16 =
-    1.5x/corner ~ 4.8x the HBM footprint (the wide-row expansion trades
-    memory for the byte-bound stage-2 gathers).
+    Rows are indexed RANK-MAJOR, `lehmer(rank) * L**4 + base`: row p of
+    base n holds exactly the 5 simplex-chain corners (in rank order) of
+    every rotation, so the device-side contraction is 5 fused
+    multiply-adds with the sorted-difference weights directly — no
+    corner-mask selection at all.  3.2x fewer gathered bytes and FMA
+    terms than `fold_lut`, for 24/16 = 1.5x/corner ~ 4.8x the HBM
+    footprint (the wide-row expansion trades memory for the byte-bound
+    stage-2 gathers).
+
+    Rank-major ordering matters enormously for gather locality: smooth
+    image regions have near-equal fractions, whose tie-broken ranks are
+    CONSTANT, while the base index varies slowly — so neighboring pixels
+    gather neighboring rows.  Base-major ordering (`base * 24 + lehmer`)
+    strides those same accesses 24 rows (9 KB) apart and measures up to
+    7.8x slower on a v5e for the 770 MB folded tables.
 
     Returns (L**4 * 24, 5 * 4 * v): column block [k][r][:] is chain corner
     k of rotation r (k-major, matching `fold_lut`'s m-major layout).
@@ -307,7 +315,9 @@ def rank_fold_lut(
     folded = fold_lut(lut, geometry, lane_perms, interval)
     folded = folded.reshape(L ** 4, 16, 4 * v)
     chains = rank_chain_masks()  # (24, 5)
-    out = np.ascontiguousarray(folded[:, chains])  # (L**4, 24, 5, 4v)
+    out = np.ascontiguousarray(
+        folded[:, chains].transpose(1, 0, 2, 3)  # (24, L**4, 5, 4v)
+    )
     out = out.reshape(L ** 4 * 24, 5 * 4 * v)
     # Pad rows to a whole number of 128-byte lane tiles with zero TERM
     # blocks (consumers zero-extend the weight vector to match): a
@@ -332,6 +342,7 @@ def rank_expand_rotations(
     Each rotation gathers with its OWN base and rank code (its taps read
     different pixels), so rotation r gets its own (L**4 * 24, 5 * v) block
     with the output-lane un-rotation `lane_perms[r]` pre-applied.
+    Rank-major row order (`lehmer * L**4 + base`) — see `rank_fold_lut`.
 
     Returns (4, L**4 * 24, 5 * v) with lut's dtype.
     """
@@ -339,7 +350,7 @@ def rank_expand_rotations(
     e = expand_lut(lut, interval)  # (L**4, 16, v)
     v = e.shape[-1]
     chains = rank_chain_masks()
-    ec = e[:, chains]              # (L**4, 24, 5, v)
+    ec = e[:, chains].transpose(1, 0, 2, 3)  # (24, L**4, 5, v)
     rots = []
     for r in range(4):
         er = ec[..., lane_perms[r]] if lane_perms is not None else ec
@@ -347,6 +358,26 @@ def rank_expand_rotations(
             np.ascontiguousarray(er).reshape(L ** 4 * 24, 5 * v)
         )
     return np.stack(rots)
+
+
+def rank_expand_shared(lut: np.ndarray, interval: int = 4) -> np.ndarray:
+    """ONE shared rank-expanded table for all 4 rotations of a
+    non-symmetric mode.
+
+    The four `rank_expand_rotations` blocks differ only by the baked
+    output-lane permutation; a consumer that applies the un-rotation
+    itself (the Pallas tail kernel reads sublanes in permuted order —
+    free) can gather every rotation from this single un-permuted table:
+    4x better gather locality and a quarter of the HBM.
+    Rank-major row order (`lehmer * L**4 + base`) — see `rank_fold_lut`.
+
+    Returns (L**4 * 24, 5 * v) with lut's dtype.
+    """
+    L = 2 ** (8 - interval) + 1
+    e = expand_lut(lut, interval)          # (L**4, 16, v)
+    v = e.shape[-1]
+    ec = e[:, rank_chain_masks()].transpose(1, 0, 2, 3)  # (24, L**4, 5, v)
+    return np.ascontiguousarray(ec).reshape(L ** 4 * 24, 5 * v)
 
 
 def expand_indices(interval: int = 4) -> np.ndarray:

@@ -1,0 +1,407 @@
+"""Pallas TPU kernel: fused assembly tail for the final LUT-cascade stage.
+
+The XLA lowering of the cascade's tail — rotation un-shifts of the flat
+per-mode contraction outputs, the stage mix, the PixelShuffle interleave
+and the uint8 cast — costs ~45 ms per 8x1080p batch in layout machinery:
+the flat (N, 16) einsum results get retiled through 16-step while-loops,
+the interleave is a relayout copy, and the uint8 output another.  This
+kernel does all of it in one pass over row blocks held in VMEM
+(ref behavior: sr/4_test_lut.py:293-306 — the rotation/mode averaging,
+rounding and output assembly of the reference engine's final stage):
+
+  * inputs are the TRANSPOSED flat per-mode contraction buffers — pure
+    bitcasts of the einsum outputs' natural {0,1} layout, zero copies;
+  * rotation un-shifts become static lane offsets into per-step DMA'd
+    row segments (double-buffered);
+  * non-symmetric (y/h/o) modes gather from ONE shared un-permuted rank
+    table (the four per-rotation tables differ only by the baked output
+    lane permutation); the un-rotation is a static sublane read order —
+    free — and the shared table costs 4x less HBM;
+  * the exact stage mix (clip + round-half-even, ensemble.stage_mix
+    semantics) runs in f32 (exact below 2**24);
+  * the 4 output sub-pixels of each pixel quad are packed into one u32
+    lane, making the device output's byte order EQUAL to the final
+    row-major uint8 image — the host "interleave" is a free view
+    (`unpack_u32`).
+
+Only supported for upscale == 4 (the u32 packing is 4 bytes) on the TPU
+backend; callers fall back to the pure-XLA `ensemble.lut_cascade_int`
+otherwise.
+
+Measured (v5e, 8x 480x270 -> 1080p, bit-exact vs the golden PNGs):
+270 ms (r2 best XLA) -> 232 ms wall with this kernel; see PERF.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ensemble as ens
+from . import simplex as sx
+from .taps import (
+    fold_geometry,
+    lane_rotation_perm,
+    mode_pad,
+    mode_taps,
+    rotated_taps,
+)
+
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _pad_ragged(img, pad: int, extra_cols: int):
+    cfg = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad + extra_cols)]
+    return jnp.pad(img, cfg, mode="edge")
+
+
+def _padded_index_take(table, idx):
+    """`jnp.take` with an 8-element index pad.
+
+    A gather whose index length is already 1024-divisible skips XLA's
+    pad_clamp fusion AND loses the S(1) (VMEM) placement of the ~13 MB
+    index vector; HBM-resident indices HALVE the gather rate (measured
+    43.6 vs 22.5 ms per stage-2 mode).  The 8 junk rows ride through the
+    contraction (slicing them off would break the int8-direct einsum
+    fusion) and are never read by the tail kernel's segment DMAs.
+    """
+    return jnp.take(table, jnp.pad(idx, (0, 8)), axis=0)
+
+
+def folded_flat(flut, img, *, mode: str, v: int, interval: int):
+    """Flat rank-folded contraction of a 90-degree-symmetric mode.
+
+    Evaluates the extended window plane with ONE extra junk row and a
+    128-aligned width (junk columns) so every tail-kernel DMA row start
+    `(bc*he + y) * we` is 128-divisible.  Returns
+    (ext (n_ext+8, 4v) f32, he, we, unshift offsets).
+    """
+    geo = fold_geometry(mode)
+    pad = mode_pad(mode) + 1
+    h, w = img.shape[-2], img.shape[-1]
+    my = -min(s_[0] for s_, _ in geo)
+    mx = -min(s_[1] for s_, _ in geo)
+    he = h + my + 1
+    we = _pad128(w + mx)
+    xp = _pad_ragged(img, pad, we - (w + mx))
+    planes = [
+        xp[..., pad - my + dy: pad - my + dy + he,
+           pad - mx + dx: pad - mx + dx + we]
+        for dy, dx in mode_taps(mode)
+    ]
+    n_ext = int(np.prod(planes[0].shape))
+    base, fr = sx._base_and_fracs(planes, interval=interval)
+    lam = sx.sorted_weights(*fr, interval=interval)
+    g = _padded_index_take(
+        flut, sx._lehmer_code(*fr) * (flut.shape[0] // 24) + base
+    )
+    terms = flut.shape[1] // (4 * v)
+    lam = jnp.pad(lam, ((0, 8), (0, max(0, terms - 5))))
+    ext = jnp.einsum(
+        "nm,nmv->nv", lam,
+        g.reshape(n_ext + 8, terms, 4 * v).astype(jnp.float32),
+    )
+    offs = [(sy + my) * we + (sx_ + mx) for (sy, sx_), _ in geo]
+    return ext, he, we, offs
+
+
+def quad_flat(lut, img, *, mode: str, v: int, interval: int):
+    """Flat per-rotation contractions of a non-symmetric mode over ONE
+    shared un-permuted table.
+
+    Two table formats, keyed by row width:
+      * rank-expanded (`simplex_tables.rank_expand_shared`, 5*v wide):
+        row `lehmer(rank)*L**4 + base` holds the 5 simplex-chain corners;
+      * 16-corner (`simplex_tables.expand_lut` flat, 16*v wide): row
+        `base` holds all 16 hypercube corners with the per-pixel
+        `corner_lams` weight vector (11 of 16 weights are zero).  The
+        16-corner table is 7.5x smaller (21 MB vs 160 MB at interval 4),
+        which gathers ~1.9x faster per row on v5e (big-table locality).
+
+    Returns ([four (N+8, v) f32 buffers in un-permuted lane order], wy);
+    evaluated over h+1 rows x 128-aligned width (junk, see folded_flat).
+    """
+    pad = mode_pad(mode) + 1
+    h, w = img.shape[-2], img.shape[-1]
+    hy = h + 1
+    wy = _pad128(w)
+    xp = _pad_ragged(img, pad, wy - w)
+    n = int(np.prod(img.shape[:-2])) * hy * wy
+    terms = lut.shape[-1] // v
+    outs = []
+    for r in range(4):
+        planes = [
+            xp[..., pad + dy: pad + dy + hy, pad + dx: pad + dx + wy]
+            for dy, dx in rotated_taps(mode, r)
+        ]
+        base, fr = sx._base_and_fracs(planes, interval=interval)
+        if terms == 16:
+            lam = sx.corner_lams(*fr, interval=interval)
+            g = _padded_index_take(lut, base)
+        else:
+            lam = sx.sorted_weights(*fr, interval=interval)
+            lam = jnp.pad(lam, ((0, 0), (0, max(0, terms - 5))))
+            g = _padded_index_take(
+                lut, sx._lehmer_code(*fr) * (lut.shape[0] // 24) + base
+            )
+        lam = jnp.pad(lam, ((0, 8), (0, 0)))
+        outs.append(jnp.einsum(
+            "nm,nmv->nv", lam,
+            g.reshape(n + 8, terms, v).astype(jnp.float32),
+        ))
+    return outs, wy
+
+
+def _tail_kernel(R, h, wp, scale, davg, fold_geos, quad_geos, *refs):
+    """fold_geos: per folded mode (he, we, offsets); quad_geos: per quad
+    mode (wy, perms).  refs layout: one hbm ref per folded mode, four per
+    quad mode, out_hbm, then scratch (one per folded, one per quad, obuf,
+    sems)."""
+    nf = len(fold_geos)
+    nq = len(quad_geos)
+    v = scale * scale
+    f_hbm = refs[:nf]
+    q_hbm = [refs[nf + 4 * i: nf + 4 * (i + 1)] for i in range(nq)]
+    out_hbm = refs[nf + 4 * nq]
+    sc0 = nf + 4 * nq + 1
+    f_buf = refs[sc0: sc0 + nf]
+    q_buf = refs[sc0 + nf: sc0 + nf + nq]
+    obuf = refs[sc0 + nf + nq]
+    sems = refs[sc0 + nf + nq + 1]
+
+    bc = pl.program_id(0)
+    yb = pl.program_id(1)
+    nyb = pl.num_programs(1)
+    step = bc * nyb + yb
+    slot = jax.lax.rem(step, 2)
+    n_copies = nf + 4 * nq
+
+    def issue(st, sl):
+        b = st // nyb
+        y0_ = (st - b * nyb) * R
+        k = 0
+        for i, (he, we, _) in enumerate(fold_geos):
+            pltpu.make_async_copy(
+                f_hbm[i].at[:, pl.ds((b * he + y0_) * we,
+                                     f_buf[i].shape[2])],
+                f_buf[i].at[sl], sems.at[sl, k]).start()
+            k += 1
+        for i, (wy, _) in enumerate(quad_geos):
+            for r in range(4):
+                pltpu.make_async_copy(
+                    q_hbm[i][r].at[:, pl.ds((b * (h + 1) + y0_) * wy,
+                                            q_buf[i].shape[3])],
+                    q_buf[i].at[sl, r], sems.at[sl, k]).start()
+                k += 1
+
+    @pl.when(step == 0)
+    def _():
+        issue(step, slot)
+
+    @pl.when(step + 1 < pl.num_programs(0) * nyb)
+    def _():
+        issue(step + 1, jax.lax.rem(step + 1, 2))
+
+    # wait for this step's copies (dummy copy objects: wait() only
+    # decrements the semaphore by the matching byte count)
+    k = 0
+    for i in range(nf):
+        pltpu.make_async_copy(
+            f_hbm[i].at[:, pl.ds(0, f_buf[i].shape[2])],
+            f_buf[i].at[slot], sems.at[slot, k]).wait()
+        k += 1
+    for i in range(nq):
+        for r in range(4):
+            pltpu.make_async_copy(
+                q_hbm[i][0].at[:, pl.ds(0, q_buf[i].shape[3])],
+                q_buf[i].at[slot, r], sems.at[slot, k]).wait()
+            k += 1
+
+    for yy in range(R):
+        acc = None
+        for i, (wy, perms) in enumerate(quad_geos):
+            for r in range(4):
+                # un-rotation = static sublane read order (shared table
+                # carries no baked lane permutation)
+                rows = [
+                    q_buf[i][slot, r, perms[r][vv],
+                             yy * wy: yy * wy + wp][None, :]
+                    for vv in range(v)
+                ]
+                piece = jnp.concatenate(rows, axis=0)
+                acc = piece if acc is None else acc + piece
+        for i, (he, we, offs) in enumerate(fold_geos):
+            for r, d_r in enumerate(offs):
+                piece = f_buf[i][slot, r * v:(r + 1) * v,
+                                 yy * we + d_r: yy * we + d_r + wp]
+                acc = piece if acc is None else acc + piece
+        # exact stage mix: clip + round-half-even(/davg), all f32-exact
+        n = jnp.clip(acc, 0.0, 255.0 * davg)
+        quo = jnp.floor(n / davg)
+        rem = n - quo * davg
+        odd = quo - 2.0 * jnp.floor(quo * 0.5)
+        up = ((2.0 * rem > davg) |
+              ((2.0 * rem == davg) & (odd == 1.0))).astype(jnp.float32)
+        vi = (quo + up).astype(jnp.int32)                     # (16, wp)
+        packed = None
+        for px in range(scale):
+            part = jnp.concatenate(
+                [vi[scale * py + px: scale * py + px + 1, :]
+                 for py in range(scale)],
+                axis=0,
+            ) << (8 * px)                                     # (4, wp)
+            packed = part if packed is None else packed | part
+        obuf[yy, :, :] = packed.astype(jnp.uint32)
+    cpo = pltpu.make_async_copy(
+        obuf, out_hbm.at[pl.ds(bc * h + yb * R, R)],
+        sems.at[slot, n_copies])
+    cpo.start()
+    cpo.wait()
+
+
+def tail_assemble(folded, quads, *, lead, h, w, scale, davg,
+                  interpret=False):
+    """Assemble the final stage from flat mode buffers.
+
+    folded: list of (ext, he, we, offs) from `folded_flat`;
+    quads: list of ([4 x (N+8, v) f32], wy, perms) from `quad_flat`.
+    Returns PACKED u32 (prod(lead) * h, scale, wp) — see `unpack_u32`.
+    """
+    bc = int(np.prod(lead)) if lead else 1
+    v = scale * scale
+    R = max(r for r in range(1, 9) if h % r == 0)
+    wp = _pad128(w)
+
+    args = []
+    in_specs = []
+    scratch = []
+    fold_geos = []
+    for ext, he, we, offs in folded:
+        my = he - h - 1
+        # rows y0 .. y0+R-1+my contribute; the junk row + junk columns
+        # guarantee the 128-aligned round-up stays inside the bc block
+        L = _pad128((R - 1 + my) * we + wp + (we - w))
+        args.append(ext.T)             # bitcast of the {0,1} einsum out
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, 4 * v, L), jnp.float32))
+        fold_geos.append((he, we, tuple(offs)))
+    quad_geos = []
+    for outs, wy, perms in quads:
+        Lq = _pad128((R - 1) * wy + wp)
+        for o in outs:
+            args.append(o.T)
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, 4, v, Lq), jnp.float32))
+        quad_geos.append(
+            (wy, tuple(tuple(int(x) for x in p_) for p_ in perms))
+        )
+    scratch.append(pltpu.VMEM((R, scale, wp), jnp.uint32))
+    n_copies = len(folded) + 4 * len(quads)
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_copies + 1)))
+
+    kern = functools.partial(
+        _tail_kernel, R, h, wp, scale, float(davg),
+        tuple(fold_geos), tuple(quad_geos),
+    )
+    blocks_per_bc = h // R
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bc * h, scale, wp), jnp.uint32),
+        grid=(bc, blocks_per_bc),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # cap the kernel's VMEM reservation: the pallas default budget
+            # halves XLA's scoped-VMEM grants to the gather fusions
+            # program-wide (gathers drop from 256- to 128-row staging)
+            vmem_limit_bytes=6 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def supports_tail_kernel(modes: str, scale: int, *, interval: int = 4,
+                         interpret: bool = False) -> bool:
+    """The kernel covers x4 (u32 = 4 packed sub-pixels) on sdy-class
+    mode sets where every mode is either 90-degree-symmetric (s/d/e,
+    rank-folded tables) or non-symmetric (y/h/o, shared rank table)."""
+    if scale != 4 or interval != 4:
+        return False
+    if not (interpret or jax.default_backend() == "tpu"):
+        return False
+    return all(m in "sdeyho" for m in modes)
+
+
+def lut_cascade_packed(tabs, img, *, stages: int, modes: str, scale: int,
+                       interval: int = 4, valid_hw=None, interpret=False):
+    """Full cascade with the final stage assembled by the Pallas tail
+    kernel; returns PACKED u32 (B*C*h, scale, wp) — `unpack_u32` on the
+    host yields the uint8 image for free (byte view).
+
+    `tabs` must be `ensemble.prepare_expanded_luts(..., shared_quad=True)`
+    tables: rank-folded for symmetric modes, one SHARED un-permuted rank
+    table for non-symmetric modes.  Bit-identical to
+    `ensemble.lut_cascade_int` (same per-rotation integer semantics,
+    ref: sr/4_test_lut.py:263-306).
+    """
+    q = 2 ** interval
+    x = img.astype(jnp.int32)
+    for s in range(stages - 1):
+        if valid_hw is not None:
+            x = ens.clamp_pad_region(x, valid_hw)
+        acc = None
+        for mode in modes:
+            lut = tabs[f"s{s + 1}_{mode}"]
+            if fold_geometry(mode) is not None:
+                out = ens.rotation_ensemble_lanes_folded_int(
+                    lut, x, mode=mode, upscale=1, interval=interval,
+                )
+            else:
+                out = ens.rotation_ensemble_lanes_quad_int(
+                    lut, x, mode=mode, upscale=1, interval=interval,
+                )
+            acc = out if acc is None else acc + out
+        mixed = ens.stage_mix(acc, q=q, avg_factor=len(modes) * 4, bias=127)
+        x = mixed[..., 0]
+    if valid_hw is not None:
+        x = ens.clamp_pad_region(x, valid_hw)
+    v = scale * scale
+    folded, quads = [], []
+    for mode in modes:
+        lut = tabs[f"s{stages}_{mode}"]
+        if fold_geometry(mode) is not None:
+            folded.append(
+                folded_flat(lut, x, mode=mode, v=v, interval=interval)
+            )
+        else:
+            outs, wy = quad_flat(lut, x, mode=mode, v=v, interval=interval)
+            perms = [lane_rotation_perm(scale, r) for r in range(4)]
+            quads.append((outs, wy, perms))
+    return tail_assemble(
+        folded, quads, lead=x.shape[:-2], h=x.shape[-2], w=x.shape[-1],
+        scale=scale, davg=q * len(modes), interpret=interpret,
+    )
+
+
+def unpack_u32(packed, lead, h: int, w: int, scale: int) -> np.ndarray:
+    """Host-side free byte view of the packed kernel output.
+
+    (prod(lead)*h, scale, wp) u32 -> (*lead, h*scale, w*scale) uint8.
+    Little-endian u32 lanes hold the `scale` sub-pixels of one output
+    quad, so the raw bytes ARE the row-major image (junk columns beyond
+    w*scale cropped).
+    """
+    arr = np.asarray(packed)
+    wp = arr.shape[-1]
+    bc = int(np.prod(lead)) if lead else 1
+    out = arr.view(np.uint8).reshape(bc, h, scale, wp * scale)
+    out = out.reshape(*(tuple(lead) + (h * scale, wp * scale)))
+    return np.ascontiguousarray(out[..., : w * scale])

@@ -39,7 +39,8 @@ class LutEvaluator:
 
     def __init__(self, luts: dict, *, stages: int, modes: str, scale: int,
                  interval: int = 4, bucket: int = 0, band: int = 0,
-                 max_batch_pixels: int | None = None, n_devices: int = 1):
+                 max_batch_pixels: int | None = None, n_devices: int = 1,
+                 kernel: bool | None = None):
         self.stages = stages
         self.modes = modes
         self.scale = scale
@@ -47,6 +48,17 @@ class LutEvaluator:
         self.bucket = bucket
         self.band = band
         self.max_batch_pixels = max_batch_pixels or self.MAX_BATCH_PIXELS
+        # Pallas tail-assembly kernel (ops.tail_kernel): fuses the final
+        # stage's rotation un-shifts, stage mix, PixelShuffle interleave
+        # and uint8 cast into one VMEM pass — bit-identical, ~15% faster
+        # on TPU.  Auto-enabled where supported; banded/meshed paths and
+        # non-TPU backends fall back to the pure-XLA cascade.
+        from ..ops import tail_kernel as _tk
+
+        if kernel is None:
+            kernel = _tk.supports_tail_kernel(modes, scale, interval=interval)
+        self.kernel = bool(kernel) and not band and n_devices <= 1
+        self._tk = _tk
         # Batch-sharded eval over a 1-D device mesh (the reference's
         # DataParallel surface, ref: sr/1_train_model.py:141-142, extended
         # to step 4): tables replicated, bucketed batches sharded on the
@@ -62,7 +74,9 @@ class LutEvaluator:
         # request limits (and re-upload per compiled shape).  The host-side
         # expansion itself is disk-cached (minutes of build time per
         # construction otherwise).
-        tabs = prepare_expanded_luts_cached(luts, interval=interval)
+        tabs = prepare_expanded_luts_cached(
+            luts, interval=interval, shared_quad=self.kernel
+        )
         if self.mesh is not None:
             from ..parallel.mesh import replicate_tree
 
@@ -111,6 +125,45 @@ class LutEvaluator:
         self._run = functools.partial(_run_tabs, self.luts)
         self._run_bucketed = functools.partial(_run_bucketed_tabs, self.luts)
 
+        if self.kernel:
+            from ..ops.tail_kernel import lut_cascade_packed
+
+            @jax.jit
+            def _runk_tabs(tabs, img):
+                return lut_cascade_packed(
+                    tabs, img, stages=stages, modes=modes, scale=scale,
+                    interval=interval)
+
+            @jax.jit
+            def _runk_bucketed_tabs(tabs, img, h, w):
+                return lut_cascade_packed(
+                    tabs, img, stages=stages, modes=modes, scale=scale,
+                    interval=interval, valid_hw=(h, w))
+
+            self._runk = functools.partial(_runk_tabs, self.luts)
+            self._runk_bucketed = functools.partial(
+                _runk_bucketed_tabs, self.luts)
+
+    def _exec(self, chw) -> np.ndarray:
+        """One untiled dispatch -> host uint8 (..., H*scale, W*scale)."""
+        if self.kernel:
+            h, w = chw.shape[-2], chw.shape[-1]
+            packed = self._runk(jnp.asarray(chw))
+            return self._tk.unpack_u32(
+                packed, chw.shape[:-2], h, w, self.scale)
+        return np.asarray(self._run(jnp.asarray(chw)))
+
+    def _exec_bucketed(self, buf, hs, ws) -> np.ndarray:
+        """One bucketed dispatch -> host uint8 (..., Hb*scale, Wb*scale)."""
+        if self.kernel:
+            h, w = buf.shape[-2], buf.shape[-1]
+            packed = self._runk_bucketed(
+                jnp.asarray(buf), jnp.asarray(hs), jnp.asarray(ws))
+            return self._tk.unpack_u32(
+                packed, buf.shape[:-2], h, w, self.scale)
+        return np.asarray(self._run_bucketed(
+            jnp.asarray(buf), jnp.asarray(hs), jnp.asarray(ws)))
+
     @classmethod
     def from_folder(cls, lut_folder: str, *, stages: int = 2, modes: str = "sdy",
                     scale: int = 4, interval: int = 4, lut_name: str = "LUT_ft",
@@ -140,7 +193,7 @@ class LutEvaluator:
         chw = img_lr.transpose(2, 0, 1)
         if not self.bucket:
             self._check_untiled_size(*chw.shape[-2:], chw.shape[0])
-            out = np.asarray(self._run(jnp.asarray(chw)))
+            out = self._exec(chw)
             return out.transpose(1, 2, 0).astype(np.uint8)
         h, w = chw.shape[-2:]
         bucket = self.bucket
@@ -148,10 +201,8 @@ class LutEvaluator:
         wb = -(-w // bucket) * bucket
         self._check_untiled_size(hb, wb, chw.shape[0])
         buf = np.pad(chw, [(0, 0), (0, hb - h), (0, wb - w)], mode="edge")
-        out = np.asarray(
-            self._run_bucketed(
-                jnp.asarray(buf), jnp.int32(h), jnp.int32(w)
-            )
+        out = self._exec_bucketed(
+            buf, np.int32(h), np.int32(w)
         )[:, : h * self.scale, : w * self.scale]
         return out.transpose(1, 2, 0).astype(np.uint8)
 
@@ -161,8 +212,7 @@ class LutEvaluator:
         Batched same-shape throughput path (the per-chip bench shape); for
         mixed sizes use `upscale` with a bucket.
         """
-        chw = jnp.asarray(imgs_lr.transpose(0, 3, 1, 2))  # uint8 H2D
-        out = np.asarray(self._run(chw))
+        out = self._exec(imgs_lr.transpose(0, 3, 1, 2))  # uint8 H2D
         return out.transpose(0, 2, 3, 1).astype(np.uint8)
 
     def upscale_many(self, imgs_lr: list) -> list:
@@ -227,11 +277,7 @@ class LutEvaluator:
         last image; the replicas are cropped off — bit-identical)."""
         n = batch.shape[0]
         if self.mesh is None:
-            return np.asarray(
-                self._run_bucketed(
-                    jnp.asarray(batch), jnp.asarray(hs), jnp.asarray(ws)
-                )
-            )
+            return self._exec_bucketed(batch, hs, ws)
         from ..parallel.mesh import shard_batch
 
         pad = -n % self.n_devices

@@ -1,0 +1,130 @@
+"""Pallas tail-assembly kernel: bit-parity vs the pure-XLA cascade.
+
+The kernel path (ops.tail_kernel.lut_cascade_packed) fuses the final
+stage's rotation un-shifts, exact stage mix, PixelShuffle interleave and
+uint8 packing into one VMEM pass (ref behavior: sr/4_test_lut.py:263-306).
+These tests run it in interpret mode on CPU against
+`ensemble.lut_cascade_int` over the same tables — byte equality, across
+image geometries including the small/odd sizes of the Set5 LR inputs.
+
+interval=6 (L=5) keeps the rank-table expansion at milliseconds; the
+kernel math is interval-generic (the production gate in
+`supports_tail_kernel` restricts to the shipped interval-4 config only
+because that is the validated deployment point).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mulut_tpu.ops import tail_kernel as tk
+from mulut_tpu.ops.ensemble import lut_cascade_int, prepare_expanded_luts
+
+INTERVAL = 6  # L = 5: tiny tables, fast host-side expansion
+SCALE = 4
+MODES = "sdy"
+STAGES = 2
+
+
+def _luts(rng):
+    L = 2 ** (8 - INTERVAL) + 1
+    luts = {}
+    for s in range(STAGES):
+        v = SCALE * SCALE if s + 1 == STAGES else 1
+        for m in MODES:
+            luts[f"s{s + 1}_{m}"] = (
+                rng.integers(-127, 128, (L ** 4, v), dtype=np.int64)
+                .astype(np.int8)
+            )
+    return luts
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(7)
+    luts = _luts(rng)
+    tabs = prepare_expanded_luts(luts, interval=INTERVAL)
+    ktabs = prepare_expanded_luts(luts, interval=INTERVAL, shared_quad=True)
+    return tabs, ktabs
+
+
+@pytest.mark.parametrize(
+    "lead,h,w",
+    [
+        ((1,), 20, 40),     # tiny
+        ((2,), 13, 57),     # odd h, small odd w (woman.png is 57x86)
+        ((1,), 9, 130),     # h with no divisor in 2..8 (R=1), w > 128
+        ((2, 3), 16, 48),   # 4-D batch x channel lead (upscale_many shape)
+    ],
+)
+def test_packed_cascade_bit_equal(tables, lead, h, w):
+    tabs, ktabs = tables
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(
+        rng.integers(0, 256, lead + (h, w), dtype=np.int64), jnp.int32
+    )
+    want = np.asarray(
+        lut_cascade_int(tabs, img, stages=STAGES, modes=MODES, scale=SCALE,
+                        interval=INTERVAL, expanded=True)
+    )
+    packed = tk.lut_cascade_packed(
+        ktabs, img, stages=STAGES, modes=MODES, scale=SCALE,
+        interval=INTERVAL, interpret=True
+    )
+    got = tk.unpack_u32(packed, lead, h, w, SCALE).astype(np.int32)
+    assert np.array_equal(got, want)
+
+
+def test_packed_cascade_valid_hw(tables):
+    """Bucketed semantics: pad region re-synced from the valid extent."""
+    tabs, ktabs = tables
+    rng = np.random.default_rng(13)
+    h, w, hv, wv = 16, 48, 11, 37
+    base = rng.integers(0, 256, (2, 1, h, w), dtype=np.int64)
+    img = jnp.asarray(base, jnp.int32)
+    hw = (jnp.asarray([hv, hv], jnp.int32), jnp.asarray([wv, wv], jnp.int32))
+    want = np.asarray(
+        lut_cascade_int(tabs, img, stages=STAGES, modes=MODES, scale=SCALE,
+                        interval=INTERVAL, expanded=True, valid_hw=hw)
+    )
+    packed = tk.lut_cascade_packed(
+        ktabs, img, stages=STAGES, modes=MODES, scale=SCALE,
+        interval=INTERVAL, valid_hw=hw, interpret=True
+    )
+    got = tk.unpack_u32(packed, (2, 1), h, w, SCALE).astype(np.int32)
+    assert np.array_equal(got, want)
+
+
+def test_quad_16corner_format(tables):
+    """quad_flat also accepts the 16-corner shared table (7.5x smaller);
+    the packed cascade stays bit-identical with it."""
+    from mulut_tpu.ops import simplex_tables as stab
+
+    tabs, ktabs = tables
+    rng = np.random.default_rng(17)
+    # rebuild the y table in 16-corner form from the same int8 LUT
+    luts = _luts(np.random.default_rng(7))
+    L = 2 ** (8 - INTERVAL) + 1
+    k16 = dict(ktabs)
+    k16["s2_y"] = stab.expand_lut(luts["s2_y"], INTERVAL).reshape(
+        L ** 4, 16 * SCALE * SCALE
+    )
+    img = jnp.asarray(rng.integers(0, 256, (1, 14, 52), dtype=np.int64),
+                      jnp.int32)
+    want = np.asarray(
+        lut_cascade_int(tabs, img, stages=STAGES, modes=MODES, scale=SCALE,
+                        interval=INTERVAL, expanded=True)
+    )
+    packed = tk.lut_cascade_packed(
+        k16, img, stages=STAGES, modes=MODES, scale=SCALE,
+        interval=INTERVAL, interpret=True
+    )
+    got = tk.unpack_u32(packed, (1,), 14, 52, SCALE).astype(np.int32)
+    assert np.array_equal(got, want)
+
+
+def test_supports_gate():
+    assert tk.supports_tail_kernel("sdy", 4, interval=4, interpret=True)
+    assert not tk.supports_tail_kernel("sdy", 2, interval=4, interpret=True)
+    assert not tk.supports_tail_kernel("sdy", 4, interval=3, interpret=True)
