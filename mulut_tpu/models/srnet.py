@@ -169,17 +169,25 @@ def srnets_predict(params: dict, x, *, modes: str, stages: int, scale: int,
 
 
 def stack_srnets_for_fast(params: dict, *, modes: str, stages: int,
-                          scale: int) -> list:
-    """Per-stage stacked bf16 params for `srnets_predict_fast`."""
-    from ..ops.unit_kernel import stack_stage_params
+                          scale: int, paired: bool = False) -> list:
+    """Per-stage stacked bf16 params for `srnets_predict_fast`.
 
-    return [
+    `paired=True` returns rotation-pair block-diagonal weights
+    (`unit_kernel.pair_stage_params`) — bit-identical outputs through a
+    higher-MFU kernel schedule; see PERF.md unit accounting.
+    """
+    from ..ops.unit_kernel import pair_stage_params, stack_stage_params
+
+    stacks = [
         stack_stage_params(
             params, stage=s + 1, modes=modes,
             upscale=unit_upscale(s + 1, stages, scale),
         )
         for s in range(stages)
     ]
+    if paired:
+        stacks = [pair_stage_params(st) for st in stacks]
+    return stacks
 
 
 def _ensemble_taps(x, modes: str):

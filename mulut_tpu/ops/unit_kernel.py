@@ -141,6 +141,89 @@ def stack_stage_params(params: dict, *, stage: int, modes: str, upscale: int,
     return st
 
 
+def pair_stage_params(stacked: dict, *, out_pad: int = 16) -> dict:
+    """Rotation-PAIR block-diagonal weights from `stack_stage_params` output.
+
+    Two rotations of a mode share each matmul: over an interleaved
+    [A1 B1 A2 B2 ...] scratch layout (nf-wide blocks), layer k reads the
+    CONTIGUOUS first 2*nf*(k-1) columns and writes a contiguous 2*nf
+    block, with weights arranged block-diagonally (the off-diagonal
+    zeros add exact zeros -> outputs bit-match the pass-major kernel).
+    MXU unit accounting: L2..L5 cost 1+2+3+4 units per pair and the two
+    heads 5 per pair = 7.5 units/pass vs the pass-major 9 (and full
+    128-lane N at nf=64), raising the theoretical MFU cap from 31% to
+    37.5% while halving the dependent-chain count.  See PERF.md.
+    """
+    nf = stacked["w1"].shape[2]
+    M = stacked["w1"].shape[0]
+    out = {"w1": stacked["w1"], "b1": stacked["b1"]}
+    z = jnp.zeros((M, nf, nf), stacked["w2"].dtype)
+    for k in range(2, 6):
+        wk, bk = stacked[f"w{k}"], stacked[f"b{k}"]   # (M, nf(k-1), nf)
+        blocks = []
+        for j in range(k - 1):
+            rows = wk[:, j * nf: (j + 1) * nf, :]
+            blocks.append(jnp.concatenate([
+                jnp.concatenate([rows, z], axis=2),
+                jnp.concatenate([z, rows], axis=2),
+            ], axis=1))
+        out[f"w{k}"] = jnp.concatenate(blocks, axis=1)  # (M,2nf(k-1),2nf)
+        out[f"b{k}"] = jnp.concatenate([bk, bk], axis=1)
+    w6 = stacked["w6"]                                  # (M, 5nf, 4*out_pad)
+    zp = jnp.zeros((M, nf, out_pad), w6.dtype)
+    rsl = [w6[:, :, out_pad * r: out_pad * (r + 1)] for r in range(4)]
+    blocks = []
+    for j in range(5):
+        rj = [r[:, j * nf: (j + 1) * nf, :] for r in rsl]
+        blocks.append(jnp.concatenate([
+            jnp.concatenate([rj[0], zp, rj[2], zp], axis=2),
+            jnp.concatenate([zp, rj[1], zp, rj[3]], axis=2),
+        ], axis=1))
+    out["w6"] = jnp.concatenate(blocks, axis=1)         # (M,10nf,4*out_pad)
+    out["b6"] = stacked["b6"]  # already [r0 r1 r2 r3] out_pad blocks
+    return out
+
+
+def _pair_ensemble_kernel(nf: int, n_modes: int, out_pad: int,
+                          t_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+                          w6, b6, out_ref, s0, s1):
+    acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
+    scr = (s0, s1)
+    for mi in range(n_modes):
+        for p in range(2):
+            for jr in range(2):
+                r = 2 * p + jr
+                col = (mi * 4 + r) * 4
+                t = t_ref[:, col: col + 4]
+                x = None
+                for k in range(4):
+                    term = t[:, k: k + 1] * w1[mi, k: k + 1, :]
+                    x = term if x is None else x + term
+                scr[p][:, nf * jr: nf * (jr + 1)] = jnp.maximum(
+                    x + b1[mi][None, :], 0).astype(jnp.bfloat16)
+        # layers 2..5: block-diagonal pair matmuls, the mode's two pairs
+        # interleaved layer-major so consecutive matmuls are independent
+        for k, (w, b) in enumerate(
+            ((w2, b2), (w3, b3), (w4, b4), (w5, b5)), start=2
+        ):
+            kw = 2 * nf * (k - 1)
+            for p in range(2):
+                xk = jnp.dot(scr[p][:, 0:kw], w[mi, 0:kw, :],
+                             preferred_element_type=jnp.float32)
+                xk = jnp.maximum(xk + b[mi][None, :].astype(jnp.float32), 0)
+                scr[p][:, kw:kw + 2 * nf] = xk.astype(jnp.bfloat16)
+        for p in range(2):
+            o = jnp.dot(scr[p][:, :],
+                        w6[mi, :, 2 * out_pad * p: 2 * out_pad * (p + 1)],
+                        preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, 2 * out_pad * p: 2 * out_pad * (p + 1)][None, :]
+                .astype(jnp.float32))
+            acc = acc + jnp.round(o[:, 0:out_pad] * 127.0)
+            acc = acc + jnp.round(o[:, out_pad: 2 * out_pad] * 127.0)
+    out_ref[:] = acc
+
+
 def _ensemble_kernel(nf: int, n_modes: int, out_pad: int,
                      t_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6, b6,
                      out_ref, cat):
@@ -181,16 +264,27 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     Output = sum over modes and rotations of round(127 * unit(taps)), with
     output lanes already un-rotated.  `interpret=True` runs the kernel in
     the Pallas interpreter (CPU testing).
+
+    Accepts either `stack_stage_params` output (pass-major kernel) or
+    `pair_stage_params` output (rotation-pair block-diagonal kernel) —
+    detected from the layer-2 weight width; outputs are bit-identical.
     """
     nf = stacked["w1"].shape[2]
+    paired = stacked["w2"].shape[-1] == 2 * nf
     n = taps.shape[0]
     n_pad = -(-n // ENSEMBLE_TILE) * ENSEMBLE_TILE
     if n_pad != n:
         taps = jnp.pad(taps, [(0, n_pad - n), (0, 0)])
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
     width = 16 * n_modes
+    if paired:
+        kern = functools.partial(_pair_ensemble_kernel, nf, n_modes, out_pad)
+        scratch = [pltpu.VMEM((ENSEMBLE_TILE, 10 * nf), jnp.bfloat16)] * 2
+    else:
+        kern = functools.partial(_ensemble_kernel, nf, n_modes, out_pad)
+        scratch = [pltpu.VMEM((ENSEMBLE_TILE, 5 * nf), jnp.bfloat16)]
     out = pl.pallas_call(
-        functools.partial(_ensemble_kernel, nf, n_modes, out_pad),
+        kern,
         out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
         grid=(n_pad // ENSEMBLE_TILE,),
         in_specs=[
@@ -199,7 +293,7 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
         ] + wspecs,
         out_specs=pl.BlockSpec((ENSEMBLE_TILE, out_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((ENSEMBLE_TILE, 5 * nf), jnp.bfloat16)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(
         taps, stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
