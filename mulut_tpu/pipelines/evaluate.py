@@ -347,8 +347,15 @@ class NetEvaluator:
             # band tiling is needed either
             from ..models.srnet import srnets_predict_fast, stack_srnets_for_fast
 
-            stacked = stack_srnets_for_fast(params, modes=modes,
-                                            stages=stages, scale=scale)
+            # MULUT_PAIRED_KERNEL=1 selects the rotation-pair block-
+            # diagonal kernel schedule (bit-identical outputs; see
+            # unit_kernel.pair_stage_params)
+            import os
+
+            stacked = stack_srnets_for_fast(
+                params, modes=modes, stages=stages, scale=scale,
+                paired=os.environ.get("MULUT_PAIRED_KERNEL", "0") == "1",
+            )
 
             @jax.jit
             def _run(x):
