@@ -80,6 +80,59 @@ def op_breakdown(trace_dir: str, top: int = 20) -> list:
     return rows[:top]
 
 
+def device_timeline(trace_dir: str, top_gaps: int = 12) -> dict:
+    """Device busy/idle analysis of a jax.profiler trace.
+
+    Complements `op_breakdown` (which sums op durations): aggregates the
+    device-lane timeline itself to answer "where does wall time go that
+    no HLO op accounts for" — dispatch serialization, host sync stalls,
+    inter-op bubbles.
+
+    Returns {"span_ms", "busy_ms", "idle_ms", "gaps": [(gap_ms,
+    after_op, before_op), ...]} where gaps are the largest idle holes
+    between consecutive device ops (merged across overlapping lanes).
+    """
+    import glob
+    import gzip
+    import json
+
+    files = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                  recursive=True)
+    )
+    if not files:
+        return {}
+    events = json.load(gzip.open(files[-1]))["traceEvents"]
+    ivs = []  # (start_us, end_us, name)
+    for e in events:
+        args = e.get("args") or {}
+        if e.get("ph") == "X" and "dur" in e and args.get("hlo_category"):
+            ivs.append((e["ts"], e["ts"] + e["dur"], e.get("name", "?")))
+    if not ivs:
+        return {}
+    ivs.sort()
+    span = ivs[-1][1] - ivs[0][0]
+    busy = 0.0
+    gaps = []
+    cur_s, cur_e, cur_n = ivs[0]
+    for s, t, name in ivs[1:]:
+        if s <= cur_e:  # overlap (parallel lanes) — merge
+            if t > cur_e:
+                cur_e, cur_n = t, name
+            continue
+        busy += cur_e - cur_s
+        gaps.append((s - cur_e, cur_n, name))
+        cur_s, cur_e, cur_n = s, t, name
+    busy += cur_e - cur_s
+    gaps.sort(reverse=True)
+    return {
+        "span_ms": span / 1e3,
+        "busy_ms": busy / 1e3,
+        "idle_ms": (span - busy) / 1e3,
+        "gaps": [(g / 1e3, a, b) for g, a, b in gaps[:top_gaps]],
+    }
+
+
 def device_time(fn, *args, n: int = 4) -> float:
     """Marginal seconds per `fn(*args)` execution, tunnel-safe.
 
