@@ -42,7 +42,7 @@ for C, name in ((3, "rgb"), (1, "yuv-luma")):
         rng.integers(0, 256, (B, C, H, W), dtype=np.int64), jnp.int32
     )
     t0 = time.perf_counter()
-    np.asarray(run(eluts, img)[:1, :1, 0, :4])
+    np.asarray(run(eluts, img)[:1, 0, :4])
     print(f"[{name}] compile {time.perf_counter()-t0:.0f}s", flush=True)
     dt = device_time(lambda: run(eluts, img), n=4)
     eff = B * H * W * scale * scale / 1e6 / dt
