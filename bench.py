@@ -21,10 +21,21 @@ aggregate — that aggregate is the vs_baseline denominator.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Must precede jax import/init: scoped-VMEM budget for XLA's table
+# staging (MULUT_SCOPED_VMEM_KIB, see PERF.md r3 cost model — VMEM-
+# resident tables gather ~4.4x faster per row).
+_KIB = os.environ.get("MULUT_SCOPED_VMEM_KIB")
+if _KIB:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_tpu_scoped_vmem_limit_kib={int(_KIB)}"
+    ).strip()
 
 
 def main():
@@ -64,7 +75,9 @@ def main():
     # XLA cascade elsewhere — both bit-identical to the reference engine.
     use_kernel = tk.supports_tail_kernel(modes, scale, interval=interval)
     eluts = prepare_expanded_luts_cached(
-        luts, interval=interval, shared_quad=use_kernel
+        luts, interval=interval, shared_quad=use_kernel,
+        corner16_modes=(os.environ.get("MULUT_CORNER16", "")
+                        if use_kernel else ""),
     )
 
     img = jnp.asarray(

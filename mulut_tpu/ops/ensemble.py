@@ -271,6 +271,7 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
 def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
                                  rank: bool = True,
                                  shared_quad: bool = False,
+                                 corner16_modes: str = "",
                                  cache_dir: str | None = None) -> dict:
     """`prepare_expanded_luts` with a host-side disk cache.
 
@@ -297,7 +298,8 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     # shared_quad extends the key only when set so pre-existing cache
     # entries for the default layout stay valid.
     # v3: rank tables switched to rank-major row order
-    tag = f"v3:{interval}:{rank}" + (":sq" if shared_quad else "")
+    tag = (f"v3:{interval}:{rank}" + (":sq" if shared_quad else "")
+           + (f":c16={corner16_modes}" if corner16_modes else ""))
     h.update(tag.encode())
     for key in sorted(luts):
         arr = np.ascontiguousarray(np.asarray(luts[key], np.int8))
@@ -309,7 +311,8 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
     out = prepare_expanded_luts(
-        luts, interval=interval, rank=rank, shared_quad=shared_quad
+        luts, interval=interval, rank=rank, shared_quad=shared_quad,
+        corner16_modes=corner16_modes,
     )
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
@@ -353,7 +356,8 @@ def _prune_cache_dir(cache_dir: str, *, keep: str,
 
 def prepare_expanded_luts(luts: dict, *, interval: int = 4,
                           rank: bool = True,
-                          shared_quad: bool = False) -> dict:
+                          shared_quad: bool = False,
+                          corner16_modes: str = "") -> dict:
     """Host-side: corner-expanded device tables, rotation-folded when legal.
 
     Per "s{stage}_{mode}" key:
@@ -402,6 +406,18 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
         # wide (v > 1) tables are byte-bound, and at interval < 4 the 24x
         # row blowup stops fitting HBM comfortably (L=33 -> 28.5M rows).
         use_rank = rank and v > 1 and L <= 17
+        if shared_quad and v > 1 and mode in corner16_modes:
+            # Shared un-permuted 16-corner rows: (L**4, 16*v) s8 — only
+            # 21.4 MB at interval 4 / v 16, small enough for XLA to
+            # stage into VMEM under a raised scoped-vmem budget, where
+            # gathers run ~4.4x faster per row than from HBM (r3 cost
+            # model, PERF.md).  Consumed by the tail kernel's quad path
+            # (which applies the lane un-rotation itself); symmetric
+            # modes listed here trade their rotation-fold for 4 VMEM
+            # gathers.  Format is shape-detected downstream.
+            e = simplex_tables.expand_lut(arr.astype(np.int8), interval)
+            out[key] = e.reshape(e.shape[0], 16 * v)
+            continue
         if geo is not None:
             perms = (
                 [lane_rotation_perm(up, r) for r in range(4)] if v > 1 else None

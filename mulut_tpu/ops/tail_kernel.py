@@ -377,7 +377,14 @@ def lut_cascade_packed(tabs, img, *, stages: int, modes: str, scale: int,
     folded, quads = [], []
     for mode in modes:
         lut = tabs[f"s{stages}_{mode}"]
-        if fold_geometry(mode) is not None:
+        # A (L**4, 16*v) shared 16-corner table routes through the quad
+        # path even for foldable modes (prepare_expanded_luts
+        # corner16_modes: trades the rotation-fold for 4 gathers from a
+        # VMEM-pinnable 21.4 MB table).  Folded tables are wider
+        # (rank_fold >= 20*v tile-padded, fold_lut 64*v), so the width
+        # test is unambiguous.
+        corner16 = lut.ndim == 2 and lut.shape[-1] == 16 * v
+        if fold_geometry(mode) is not None and not corner16:
             folded.append(
                 folded_flat(lut, x, mode=mode, v=v, interval=interval)
             )

@@ -74,8 +74,16 @@ class LutEvaluator:
         # request limits (and re-upload per compiled shape).  The host-side
         # expansion itself is disk-cached (minutes of build time per
         # construction otherwise).
+        # MULUT_CORNER16 (e.g. "y" or "sdy") switches the listed modes'
+        # final-stage tables to the (L**4, 16*v) shared 16-corner form —
+        # VMEM-pinnable under a raised --xla_tpu_scoped_vmem_limit_kib
+        # (see PERF.md r3 cost model); kernel-path only, bit-identical.
+        import os
+
+        c16 = os.environ.get("MULUT_CORNER16", "") if self.kernel else ""
         tabs = prepare_expanded_luts_cached(
-            luts, interval=interval, shared_quad=self.kernel
+            luts, interval=interval, shared_quad=self.kernel,
+            corner16_modes=c16,
         )
         if self.mesh is not None:
             from ..parallel.mesh import replicate_tree

@@ -124,6 +124,33 @@ def test_quad_16corner_format(tables):
     assert np.array_equal(got, want)
 
 
+def test_corner16_modes_all_quad(tables):
+    """prepare_expanded_luts(corner16_modes=...) emits (L**4, 16*v)
+    shared tables; the packed cascade routes them through the quad path
+    (foldable modes included) and stays bit-identical."""
+    tabs, _ = tables
+    luts = _luts(np.random.default_rng(7))
+    k16 = prepare_expanded_luts(
+        luts, interval=INTERVAL, shared_quad=True, corner16_modes=MODES
+    )
+    L = 2 ** (8 - INTERVAL) + 1
+    for m in MODES:
+        assert k16[f"s2_{m}"].shape == (L ** 4, 16 * SCALE * SCALE)
+    rng = np.random.default_rng(23)
+    img = jnp.asarray(rng.integers(0, 256, (2, 12, 44), dtype=np.int64),
+                      jnp.int32)
+    want = np.asarray(
+        lut_cascade_int(tabs, img, stages=STAGES, modes=MODES, scale=SCALE,
+                        interval=INTERVAL, expanded=True)
+    )
+    packed = tk.lut_cascade_packed(
+        k16, img, stages=STAGES, modes=MODES, scale=SCALE,
+        interval=INTERVAL, interpret=True
+    )
+    got = tk.unpack_u32(packed, (2,), 12, 44, SCALE).astype(np.int32)
+    assert np.array_equal(got, want)
+
+
 def test_supports_gate():
     assert tk.supports_tail_kernel("sdy", 4, interval=4, interpret=True)
     assert not tk.supports_tail_kernel("sdy", 2, interval=4, interpret=True)
