@@ -2,7 +2,8 @@
 
 Flags (combine freely):
   --y16     s2_y as the 21.4 MB 16-corner shared table (pin with
-            XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536)
+            MULUT_SCOPED_VMEM_KIB=65536 — goes through
+            jax.jit(compiler_options=...), NOT XLA_FLAGS)
   --ysplit  s2_y as two 10.7 MB v-split half tables (default-budget pin)
   --s1y8    stage-1 non-symmetric tables s8 instead of s32
   --merge   4 s2-y gathers as one 13.3M-row gather (rank format only)
@@ -96,10 +97,17 @@ def main():
         tk.quad_flat = quad
         label.append("merge")
     name = "+".join(label) or "stock"
+    from mulut_tpu.utils.xla_opts import tpu_compiler_options
+
+    copts = tpu_compiler_options()
+    if copts:
+        print(f"compiler_options: {copts}", flush=True)
+        name += "+vmem"
     try:
         run2 = jax.jit(functools.partial(
             tk.lut_cascade_packed, stages=stages, modes=modes,
-            scale=scale, interval=interval, interpret=interp))
+            scale=scale, interval=interval, interpret=interp),
+            compiler_options=copts)
         tabs_x_d = jax.device_put(tabs_x)
         t0 = time.time()
         out = np.asarray(run2(tabs_x_d, img))

@@ -6,7 +6,9 @@ up their rotation-fold (1 gather/4 rot from 770 MB HBM at 7.15 ns/row)
 for 4 quad gathers each from VMEM (~1.3 ns/row).  Estimated from the
 r3 cost model: gathers -60 ms, copies/contraction +20 -> net -40 ms
 IF pinning holds at 3 tables.  Run with
-  XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=98304 python _r3_sd16.py
+  MULUT_SCOPED_VMEM_KIB=98304 python _r3_sd16.py
+(xla_tpu_* flags go through jax.jit(compiler_options=...), NOT
+XLA_FLAGS — client flag parse aborts on unknown flags.)
 
 The final stage's s/d quad path needs lane UN-rotation perms exactly
 like y (the shared table is un-permuted); the tail kernel already does
@@ -83,6 +85,10 @@ def main():
         rng.integers(0, 256, (B, 3, H, W), dtype=np.int64), jnp.int32)
     interp = "--cpu" in sys.argv
 
+    from mulut_tpu.utils.xla_opts import tpu_compiler_options
+
+    copts = tpu_compiler_options()
+    print(f"compiler_options: {copts}", flush=True)
     run = jax.jit(functools.partial(
         tk.lut_cascade_packed, stages=stages, modes=modes,
         scale=scale, interval=interval, interpret=interp))
@@ -100,7 +106,8 @@ def main():
 
     run2 = jax.jit(functools.partial(
         cascade_all_quad, stages=stages, modes=modes,
-        scale=scale, interval=interval, interpret=interp))
+        scale=scale, interval=interval, interpret=interp),
+        compiler_options=copts)
     tabs16_d = jax.device_put(tabs16)
     t0 = time.time()
     out = np.asarray(run2(tabs16_d, img))

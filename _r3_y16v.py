@@ -6,15 +6,19 @@ device 100% busy; the top cost is the 4x stage-2 y gathers: 77 ms at
 gathers run at 1.3 ns/row because XLA stages that 5.3 MB table into
 VMEM (S(1)).  The 16-corner shared y table is only 21.4 MB
 (83521 x 256 s8) — just over the default scoped-VMEM budget; with
---xla_tpu_scoped_vmem_limit_kib raised it may pin, turning 77 ms into
+xla_tpu_scoped_vmem_limit_kib raised it may pin, turning 77 ms into
 ~17-22 ms.  The earlier "y16 slower in-context" negative result was
 measured WITHOUT the flag (table stayed in HBM and the wider
 contraction swamped the faster gather); the contraction swamp
 (s8->f32 materialization, 4.3 GB) is expected to cost ~+10-15 ms —
 a net ~-40 ms if pinning works.
 
+xla_tpu_* are libtpu flags: they CANNOT go in XLA_FLAGS (fatal
+"Unknown flag" at client parse).  Set MULUT_SCOPED_VMEM_KIB and the
+script passes them per-executable via jax.jit(compiler_options=...).
+
 Run with e.g.:
-  XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 python _r3_y16v.py
+  MULUT_SCOPED_VMEM_KIB=65536 python _r3_y16v.py
 Usage: _r3_y16v.py [--cpu] [--trace] [--rank-only (skip y16, flag A/B
                     of the current rank config)]
 """
@@ -54,9 +58,14 @@ def main():
         rng.integers(0, 256, (B, 3, H, W), dtype=np.int64), jnp.int32)
     interp = "--cpu" in sys.argv
 
+    from mulut_tpu.utils.xla_opts import tpu_compiler_options
+
+    copts = tpu_compiler_options()
+    print(f"compiler_options: {copts}", flush=True)
     run = jax.jit(functools.partial(
         tk.lut_cascade_packed, stages=stages, modes=modes,
-        scale=scale, interval=interval, interpret=interp))
+        scale=scale, interval=interval, interpret=interp),
+        compiler_options=copts)
 
     tabs_d = jax.device_put(tabs)
     t0 = time.time()

@@ -27,16 +27,6 @@ import time
 
 import numpy as np
 
-# Must precede jax import/init: scoped-VMEM budget for XLA's table
-# staging (MULUT_SCOPED_VMEM_KIB, see PERF.md r3 cost model — VMEM-
-# resident tables gather ~4.4x faster per row).
-_KIB = os.environ.get("MULUT_SCOPED_VMEM_KIB")
-if _KIB:
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_tpu_scoped_vmem_limit_kib={int(_KIB)}"
-    ).strip()
-
 
 def main():
     import functools
@@ -86,13 +76,18 @@ def main():
 
     # Tables ride as jit ARGUMENTS (device buffers), not closure constants —
     # baked-in constants of this size blow remote-compile request limits.
+    # MULUT_SCOPED_VMEM_KIB raises XLA's scoped-VMEM budget per-executable
+    # (libtpu flag — must NOT go in XLA_FLAGS; see utils/xla_opts.py).
+    from mulut_tpu.utils.xla_opts import tpu_compiler_options
+
+    copts = tpu_compiler_options()
     if use_kernel:
         run = jax.jit(functools.partial(
             tk.lut_cascade_packed, stages=stages, modes=modes,
             scale=scale, interval=interval,
-        ))
+        ), compiler_options=copts)
     else:
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def run(tabs, x):
             return lut_cascade_int(
                 tabs, x, stages=stages, modes=modes, scale=scale,

@@ -135,14 +135,20 @@ class LutEvaluator:
 
         if self.kernel:
             from ..ops.tail_kernel import lut_cascade_packed
+            from ..utils.xla_opts import tpu_compiler_options
 
-            @jax.jit
+            # MULUT_SCOPED_VMEM_KIB raises the scoped-VMEM budget for
+            # these executables (VMEM-staged tables gather ~4.4x faster
+            # per row; pairs with MULUT_CORNER16 tables — PERF.md r3).
+            copts = tpu_compiler_options()
+
+            @functools.partial(jax.jit, compiler_options=copts)
             def _runk_tabs(tabs, img):
                 return lut_cascade_packed(
                     tabs, img, stages=stages, modes=modes, scale=scale,
                     interval=interval)
 
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=copts)
             def _runk_bucketed_tabs(tabs, img, h, w):
                 return lut_cascade_packed(
                     tabs, img, stages=stages, modes=modes, scale=scale,
