@@ -4,6 +4,8 @@ Flags (combine freely):
   --y16     s2_y as the 21.4 MB 16-corner shared table (pin with
             MULUT_SCOPED_VMEM_KIB=65536 — goes through
             jax.jit(compiler_options=...), NOT XLA_FLAGS)
+  --sd16    s2_s and s2_d ALSO as 16-corner shared tables (all-quad
+            stage 2; combine with --y16 and a ~98304 KiB budget)
   --ysplit  s2_y as two 10.7 MB v-split half tables (default-budget pin)
   --s1y8    stage-1 non-symmetric tables s8 instead of s32
   --merge   4 s2-y gathers as one 13.3M-row gather (rank format only)
@@ -69,6 +71,12 @@ def main():
         tabs_x["s2_y"] = simplex_tables.expand_lut(
             luts["s2_y"], interval).reshape(luts["s2_y"].shape[0], -1)
         label.append("y16")
+    if arg("--sd16"):
+        for m in "sd":
+            tabs_x[f"s2_{m}"] = simplex_tables.expand_lut(
+                luts[f"s2_{m}"], interval
+            ).reshape(luts[f"s2_{m}"].shape[0], -1)
+        label.append("sd16")
     if arg("--ysplit"):
         e = simplex_tables.expand_lut(luts["s2_y"], interval)
         tabs_x["s2_y"] = np.stack([
@@ -111,7 +119,11 @@ def main():
         tabs_x_d = jax.device_put(tabs_x)
         t0 = time.time()
         out = np.asarray(run2(tabs_x_d, img))
-        ok = np.array_equal(out, base)
+        # compare the VALID unpacked image: packed junk columns beyond
+        # w*scale legitimately differ between the folded and quad paths
+        ok = np.array_equal(
+            tk.unpack_u32(out, (B, 3), H, W, scale),
+            tk.unpack_u32(base, (B, 3), H, W, scale))
         print(f"[{name}] compile+run {time.time()-t0:.0f}s "
               f"{'MATCH' if ok else 'MISMATCH'}", flush=True)
         if arg("--cpu"):
