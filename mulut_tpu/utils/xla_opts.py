@@ -17,17 +17,20 @@ from __future__ import annotations
 import os
 
 
-def tpu_compiler_options(extra: dict | None = None) -> dict | None:
+def tpu_compiler_options(extra: dict | None = None, *,
+                         scoped_vmem_kib: int | None = None) -> dict | None:
     """compiler_options dict for jax.jit on TPU, or None.
 
-    Reads MULUT_SCOPED_VMEM_KIB (KiB).  Returns None when unset or when
-    the default backend is not a TPU (other backends reject unknown
-    options at compile time).
+    The budget comes from `scoped_vmem_kib` when given (bench autotune
+    candidates), else MULUT_SCOPED_VMEM_KIB (A/B experiment scripts).
+    Returns None when unset or when the default backend is not a TPU
+    (other backends reject unknown options at compile time).
     """
     import jax
 
     opts = dict(extra or {})
-    kib = os.environ.get("MULUT_SCOPED_VMEM_KIB")
+    kib = (scoped_vmem_kib if scoped_vmem_kib is not None
+           else os.environ.get("MULUT_SCOPED_VMEM_KIB"))
     if kib and jax.default_backend() == "tpu":
         opts["xla_tpu_scoped_vmem_limit_kib"] = str(int(kib))
     return opts or None
