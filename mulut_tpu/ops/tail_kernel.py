@@ -398,6 +398,22 @@ def lut_cascade_packed(tabs, img, *, stages: int, modes: str, scale: int,
     )
 
 
+def unpack_u32_device(packed, lead, h: int, w: int, scale: int):
+    """In-graph equivalent of `unpack_u32` (uint8 result stays on device).
+
+    For fused programs that consume the cascade output inside the same
+    jit (e.g. the device YUV pipeline): lax.bitcast_convert_type to uint8
+    enumerates the u32 bytes little-endian exactly like the host byte
+    view, so this is reshape-only — no arithmetic.
+    """
+    wp = packed.shape[-1]
+    bc = int(np.prod(lead)) if lead else 1
+    b = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (bc*h, scale, wp, 4)
+    out = b.reshape(bc, h * scale, wp * scale)
+    return out.reshape(*(tuple(lead) + (h * scale, wp * scale)))[
+        ..., : w * scale]
+
+
 def unpack_u32(packed, lead, h: int, w: int, scale: int) -> np.ndarray:
     """Host-side free byte view of the packed kernel output.
 

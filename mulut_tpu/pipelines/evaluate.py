@@ -302,6 +302,86 @@ class LutEvaluator:
         b, h, w = shard_batch(self.mesh, batch, hs, ws)
         return np.asarray(self._run_bucketed(b, h, w))[:n]
 
+    # ------------------------------------------------------------------
+    # Fully on-device YUV deployment mode (ref: sr/Test.py:317-398).
+    # The host path in sr/Test.py (PIL bicubic chroma, float64 color
+    # transforms) pins quality; this fused program is the THROUGHPUT
+    # form: RGB->YCbCr (one 3x3 matmul), the integer cascade on luma
+    # only (1/3 of the cascade work), chroma bicubic as two dense
+    # matmuls (ops.resize), YCbCr->RGB — one jit, uint8 in / uint8 out,
+    # nothing touches the host between.  Chroma resize keeps f32 through
+    # both axes (PIL quantizes between passes), so output may differ
+    # from the host path by +/-1 greylevel where the cubic overshoots;
+    # quality parity is pinned in tests/test_yuv.py.
+    # ------------------------------------------------------------------
+
+    _yuv_run = None
+
+    def _build_yuv(self):
+        from ..ops.resize import bicubic_upscale
+        from ..utils.metrics import _YCBCR_O, _YCBCR_T
+
+        stages, modes = self.stages, self.modes
+        scale, interval = self.scale, self.interval
+        kernel = self.kernel
+        T = jnp.asarray(_YCBCR_T, jnp.float32)
+        O = jnp.asarray(_YCBCR_O, jnp.float32)
+        Ti = jnp.asarray(np.linalg.inv(_YCBCR_T), jnp.float32)
+        copts = None
+        if kernel:
+            from ..utils.xla_opts import tpu_compiler_options
+
+            copts = tpu_compiler_options()
+
+        @functools.partial(jax.jit, compiler_options=copts)
+        def _yuv_tabs(tabs, rgb):  # (B, H, W, 3) uint8
+            B, H, W = rgb.shape[0], rgb.shape[1], rgb.shape[2]
+            ycc = jnp.einsum("...c,oc->...o", rgb.astype(jnp.float32), T) + O
+            y = jnp.clip(jnp.round(ycc[..., 0]), 0, 255).astype(jnp.int32)
+            if kernel:
+                packed = self._tk.lut_cascade_packed(
+                    tabs, y[:, None], stages=stages, modes=modes,
+                    scale=scale, interval=interval)
+                y_sr = self._tk.unpack_u32_device(
+                    packed, (B, 1), H, W, scale)[:, 0]
+            else:
+                y_sr = lut_cascade_int(
+                    tabs, y[:, None], stages=stages, modes=modes,
+                    scale=scale, interval=interval, expanded=True)[:, 0]
+            cbcr = jnp.clip(jnp.round(ycc[..., 1:]), 0, 255)
+            cbcr_sr = bicubic_upscale(jnp.moveaxis(cbcr, -1, 1), scale)
+            ycc_sr = jnp.stack(
+                [y_sr.astype(jnp.float32), cbcr_sr[:, 0], cbcr_sr[:, 1]],
+                axis=-1)
+            rgb_sr = jnp.einsum("...c,oc->...o", ycc_sr - O, Ti)
+            return jnp.clip(jnp.round(rgb_sr), 0, 255).astype(jnp.uint8)
+
+        self._yuv_run = functools.partial(_yuv_tabs, self.luts)
+
+    def upscale_yuv_batch(self, imgs_rgb: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 RGB -> (B, H*s, W*s, 3) uint8, one dispatch.
+
+        The device YUV pipeline: ~3x the output rate of `upscale_batch`
+        on the same engine (the cascade sees one plane instead of three).
+        """
+        if self._yuv_run is None:
+            self._build_yuv()
+        h, w = imgs_rgb.shape[1:3]
+        # the YUV program is always untiled (no banding inside the fused
+        # jit), so enforce the HBM-safe cap even on a banded evaluator
+        if h * w * imgs_rgb.shape[0] > self.max_batch_pixels:
+            raise ValueError(
+                f"YUV batch {imgs_rgb.shape[0]}x{h}x{w} exceeds the untiled "
+                f"HBM-safe size ({self.max_batch_pixels} px); split the "
+                "batch or raise max_batch_pixels explicitly"
+            )
+        return np.asarray(self._yuv_run(jnp.asarray(imgs_rgb)))
+
+    def upscale_yuv(self, img_rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 RGB -> (H*s, W*s, 3) uint8 via the device YUV
+        pipeline (see `upscale_yuv_batch`)."""
+        return self.upscale_yuv_batch(img_rgb[None])[0]
+
     def _check_untiled_size(self, hb: int, wb: int, channels: int) -> None:
         """Refuse to run an untiled cascade past the HBM-safe pixel cap.
 
@@ -430,6 +510,56 @@ class NetEvaluator:
             out = np.asarray(self._run(x))
         out = out[0].transpose(1, 2, 0)
         return np.round(np.clip(out, 0, 255)).astype(np.uint8)
+
+    _yuv_run = None
+
+    def _build_yuv(self):
+        # Fused device YUV pipeline over the MXU path — same structure as
+        # LutEvaluator._build_yuv (ref: sr/Test.py:317-398): luma through
+        # the tap-MLP cascade, chroma as two dense bicubic matmuls, color
+        # transforms in-graph.  The luma plane is 1/3 of an RGB pass, so
+        # this is the framework's highest-throughput deployment form.
+        from ..ops.resize import bicubic_upscale
+        from ..utils.metrics import _YCBCR_O, _YCBCR_T
+
+        T = jnp.asarray(_YCBCR_T, jnp.float32)
+        O = jnp.asarray(_YCBCR_O, jnp.float32)
+        Ti = jnp.asarray(np.linalg.inv(_YCBCR_T), jnp.float32)
+        run, run_tiled = self._run, self._run_tiled
+        scale, threshold = self.scale, self.TILE_THRESHOLD
+        min_dim = self.BAND + 8
+
+        @jax.jit
+        def _yuv(rgb):  # (B, H, W, 3) uint8
+            h, w = rgb.shape[1], rgb.shape[2]
+            ycc = jnp.einsum("...c,oc->...o", rgb.astype(jnp.float32), T) + O
+            y = jnp.clip(jnp.round(ycc[..., 0]), 0, 255)
+            x = y[:, None] / 255.0
+            # static-shape band selection, mirroring `upscale`
+            if h * w > threshold and max(h, w) >= min_dim:
+                y_sr = run_tiled(x, axis=2 if h >= min_dim else 3)
+            else:
+                y_sr = run(x)
+            y_sr = jnp.clip(jnp.round(y_sr[:, 0]), 0, 255)
+            cbcr = jnp.clip(jnp.round(ycc[..., 1:]), 0, 255)
+            cbcr_sr = bicubic_upscale(jnp.moveaxis(cbcr, -1, 1), scale)
+            ycc_sr = jnp.stack([y_sr, cbcr_sr[:, 0], cbcr_sr[:, 1]], axis=-1)
+            rgb_sr = jnp.einsum("...c,oc->...o", ycc_sr - O, Ti)
+            return jnp.clip(jnp.round(rgb_sr), 0, 255).astype(jnp.uint8)
+
+        self._yuv_run = _yuv
+
+    def upscale_yuv_batch(self, imgs_rgb: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 RGB -> (B, H*s, W*s, 3) uint8 — the device
+        YUV pipeline over the MXU path, one dispatch."""
+        if self._yuv_run is None:
+            self._build_yuv()
+        return np.asarray(self._yuv_run(jnp.asarray(imgs_rgb)))
+
+    def upscale_yuv(self, img_rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 RGB -> (H*s, W*s, 3) uint8 (see
+        `upscale_yuv_batch`)."""
+        return self.upscale_yuv_batch(img_rgb[None])[0]
 
 
 def eval_dataset(evaluator: LutEvaluator, test_dir: str, dataset: str,

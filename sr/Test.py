@@ -9,6 +9,9 @@ Modes:
 
 `--yuv` applies the LUT cascade to luma only with bicubic chroma (the fork
 demo's YUV pipeline, ref: sr/Test.py:317-398) — faster, slightly lower PSNR.
+`--yuv-device` is the same pipeline fused into ONE device program (color
+transforms + luma cascade + matmul-bicubic chroma, uint8 in/out) — the
+throughput deployment form; works with both --lut_dir and --net.
 """
 
 import argparse
@@ -49,8 +52,22 @@ def upscale_yuv(evaluator, img):
     return ycbcr2rgb(out.astype(np.float64))
 
 
-def run_benchmark(evaluator, bench_dir, datasets, *, yuv=False):
+def _pick_upscale(evaluator, *, yuv, device_yuv):
+    """yuv: host path (PIL chroma — the fork-faithful form, ref:
+    sr/Test.py:317-398); device_yuv: the fused on-device pipeline
+    (evaluate.upscale_yuv — color transforms, luma cascade and
+    matmul-bicubic chroma in ONE jit; the throughput form)."""
+    if device_yuv:
+        return evaluator.upscale_yuv
+    if yuv:
+        return lambda img: upscale_yuv(evaluator, img)
+    return evaluator.upscale
+
+
+def run_benchmark(evaluator, bench_dir, datasets, *, yuv=False,
+                  device_yuv=False):
     results = {}
+    up = _pick_upscale(evaluator, yuv=yuv, device_yuv=device_yuv)
     for ds in datasets:
         hr_dir = os.path.join(bench_dir, ds, "HR")
         lr_dir = os.path.join(bench_dir, ds, f"LR_bicubic/X{evaluator.scale}")
@@ -61,7 +78,7 @@ def run_benchmark(evaluator, bench_dir, datasets, *, yuv=False):
             lr = load_image(os.path.join(lr_dir, f))
             gt = modcrop(load_image(os.path.join(hr_dir, f)), evaluator.scale)
             t0 = time.time()
-            sr = upscale_yuv(evaluator, lr) if yuv else evaluator.upscale(lr)
+            sr = up(lr)
             times.append(time.time() - t0)
             scores.append(psnr_ssim_y(gt, sr, evaluator.scale))
         arr = np.asarray(scores)
@@ -90,6 +107,10 @@ if __name__ == "__main__":
     p.add_argument("--modes", type=str, default="sdy")
     p.add_argument("--lut_name", type=str, default="LUT_ft")
     p.add_argument("--yuv", action="store_true")
+    p.add_argument("--yuv-device", action="store_true", dest="yuv_device",
+                   help="YUV mode fully on device (fused jit: color "
+                        "transforms + luma cascade + matmul-bicubic "
+                        "chroma) — the throughput form of --yuv")
     p.add_argument("--bucket", type=int, default=0,
                    help="pad eval shapes up to multiples of this (one compile "
                         "serves many image sizes; output unchanged)")
@@ -115,13 +136,13 @@ if __name__ == "__main__":
         )
     if args.input:
         img = load_image(args.input)
-        sr = upscale_yuv(ev, img) if args.yuv else ev.upscale(img)
+        sr = _pick_upscale(ev, yuv=args.yuv, device_yuv=args.yuv_device)(img)
         out_path = args.output or args.input.replace(".", "_sr.", 1)
         save_image(out_path, sr)
         print(f"{args.input} {img.shape} -> {out_path} {sr.shape}")
     if args.benchmark_dir:
         results = run_benchmark(ev, args.benchmark_dir, args.datasets,
-                                yuv=args.yuv)
+                                yuv=args.yuv, device_yuv=args.yuv_device)
         if args.results_json:
             with open(args.results_json, "w") as f:
                 json.dump(results, f, indent=2)

@@ -76,6 +76,26 @@ def test_packed_cascade_bit_equal(tables, lead, h, w):
     assert np.array_equal(got, want)
 
 
+def test_unpack_u32_device_matches_host(tables):
+    """The in-graph unpack (lax.bitcast_convert_type) must enumerate the
+    u32 bytes exactly like the host byte view — the device YUV pipeline
+    consumes the cascade output through it."""
+    _, ktabs = tables
+    rng = np.random.default_rng(13)
+    lead, h, w = (2, 1), 16, 48
+    img = jnp.asarray(
+        rng.integers(0, 256, lead + (h, w), dtype=np.int64), jnp.int32
+    )
+    packed = tk.lut_cascade_packed(
+        ktabs, img, stages=STAGES, modes=MODES, scale=SCALE,
+        interval=INTERVAL, interpret=True
+    )
+    host = tk.unpack_u32(packed, lead, h, w, SCALE)
+    dev = np.asarray(tk.unpack_u32_device(packed, lead, h, w, SCALE))
+    assert dev.dtype == np.uint8
+    assert np.array_equal(dev, host)
+
+
 def test_packed_cascade_valid_hw(tables):
     """Bucketed semantics: pad region re-synced from the valid extent."""
     tabs, ktabs = tables

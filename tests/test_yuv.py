@@ -88,3 +88,61 @@ def test_yuv_quality_tracks_rgb_cascade(evaluator, butterfly):
     assert p_yuv > 20.0
     assert abs(p_yuv - p_rgb) < 1.0, (p_yuv, p_rgb)
     assert abs(s_yuv - s_rgb) < 0.03, (s_yuv, s_rgb)
+
+
+def test_device_yuv_matches_host_yuv(evaluator, butterfly):
+    """LutEvaluator.upscale_yuv (one fused jit: color transforms, luma
+    cascade, matmul-bicubic chroma) tracks the host path (PIL chroma,
+    float64 color math) to ~1 greylevel and equal quality."""
+    from mulut_tpu.utils.metrics import psnr_ssim_y
+
+    mod = _load_test_module()
+    lr, hr = butterfly
+    host = np.asarray(mod.upscale_yuv(evaluator, lr), dtype=np.int32)
+    dev = evaluator.upscale_yuv(lr).astype(np.int32)
+
+    assert dev.shape == host.shape and dev.dtype == np.int32
+    diff = np.abs(dev - host)
+    # Measured isolation (see resize.py docstring): given the SAME chroma
+    # plane, the fused program reproduces the host math EXACTLY (diff
+    # 0.0); every remaining greylevel of divergence is PIL's fixed-point
+    # + inter-pass-quantized uint8 resize vs our full-f32 matmul resize,
+    # which peaks ~4 greylevels at butterfly's sharp chroma edges.
+    assert np.mean(diff) < 1.5, np.mean(diff)
+    assert np.percentile(diff, 99) <= 5, np.percentile(diff, 99)
+
+    p_host, s_host = psnr_ssim_y(hr, host.astype(np.uint8), 4)
+    p_dev, s_dev = psnr_ssim_y(hr, dev.astype(np.uint8), 4)
+    assert abs(p_dev - p_host) < 0.05, (p_dev, p_host)
+    assert abs(s_dev - s_host) < 0.005, (s_dev, s_host)
+
+
+def test_device_yuv_batch_shape_and_determinism(evaluator, butterfly):
+    lr, _ = butterfly
+    batch = np.stack([lr, lr[::-1, :].copy()])
+    out = evaluator.upscale_yuv_batch(batch)
+    assert out.shape == (2, lr.shape[0] * 4, lr.shape[1] * 4, 3)
+    assert out.dtype == np.uint8
+    # image 0 of the batch == the single-image dispatch
+    np.testing.assert_array_equal(out[0], evaluator.upscale_yuv(lr))
+
+
+def test_net_device_yuv(butterfly):
+    """NetEvaluator.upscale_yuv: the MXU-path YUV pipeline stays within
+    the expected quality window of the LUT-path YUV output."""
+    require_reference()
+    from mulut_tpu.pipelines.evaluate import NetEvaluator
+    from mulut_tpu.utils.metrics import psnr_ssim_y
+
+    lr, hr = butterfly
+    ckpt = os.path.join(REF_MODELS, "Model_200000.pth")
+    if not os.path.exists(ckpt):
+        pytest.skip("reference checkpoint not shipped")
+    ev = NetEvaluator.from_checkpoint(ckpt, stages=2, modes="sdy", scale=4)
+    out = ev.upscale_yuv(lr)
+    assert out.shape == (lr.shape[0] * 4, lr.shape[1] * 4, 3)
+    p, s = psnr_ssim_y(hr, out, 4)
+    # net quality >= LUT quality on luma; chroma identical (same bicubic)
+    p_rgb, _ = psnr_ssim_y(hr, ev.upscale(lr), 4)
+    assert p > 20.0
+    assert abs(p - p_rgb) < 1.0, (p, p_rgb)
