@@ -64,14 +64,20 @@ def bicubic_resize_hw(x, h_out: int, w_out: int):
     Jit-safe: the weight matrices depend only on the (static) shapes and
     ride into the graph as constants.  `x` may have any leading dims.
     """
+    import jax
+
     h_in, w_in = x.shape[-2], x.shape[-1]
     x = x.astype(jnp.float32)
+    # HIGHEST: on TPU, f32 dots default to bf16 MXU passes — these
+    # matmuls are tiny next to the SR cascade, and chroma deserves the
+    # full f32 (that precision edge over PIL is the documented win).
+    hp = jax.lax.Precision.HIGHEST
     if h_in != h_out:
         wv = jnp.asarray(_bicubic_matrix_np(h_in, h_out))
-        x = jnp.einsum("oh,...hw->...ow", wv, x)
+        x = jnp.einsum("oh,...hw->...ow", wv, x, precision=hp)
     if w_in != w_out:
         wh = jnp.asarray(_bicubic_matrix_np(w_in, w_out))
-        x = jnp.einsum("ow,...hw->...ho", wh, x)
+        x = jnp.einsum("ow,...hw->...ho", wh, x, precision=hp)
     return x
 
 

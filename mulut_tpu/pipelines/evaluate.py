@@ -336,7 +336,8 @@ class LutEvaluator:
         @functools.partial(jax.jit, compiler_options=copts)
         def _yuv_tabs(tabs, rgb):  # (B, H, W, 3) uint8
             B, H, W = rgb.shape[0], rgb.shape[1], rgb.shape[2]
-            ycc = jnp.einsum("...c,oc->...o", rgb.astype(jnp.float32), T) + O
+            ycc = jnp.einsum("...c,oc->...o", rgb.astype(jnp.float32), T,
+                             precision=jax.lax.Precision.HIGHEST) + O
             y = jnp.clip(jnp.round(ycc[..., 0]), 0, 255).astype(jnp.int32)
             if kernel:
                 packed = self._tk.lut_cascade_packed(
@@ -353,7 +354,8 @@ class LutEvaluator:
             ycc_sr = jnp.stack(
                 [y_sr.astype(jnp.float32), cbcr_sr[:, 0], cbcr_sr[:, 1]],
                 axis=-1)
-            rgb_sr = jnp.einsum("...c,oc->...o", ycc_sr - O, Ti)
+            rgb_sr = jnp.einsum("...c,oc->...o", ycc_sr - O, Ti,
+                                precision=jax.lax.Precision.HIGHEST)
             return jnp.clip(jnp.round(rgb_sr), 0, 255).astype(jnp.uint8)
 
         self._yuv_run = functools.partial(_yuv_tabs, self.luts)
@@ -532,7 +534,8 @@ class NetEvaluator:
         @jax.jit
         def _yuv(rgb):  # (B, H, W, 3) uint8
             h, w = rgb.shape[1], rgb.shape[2]
-            ycc = jnp.einsum("...c,oc->...o", rgb.astype(jnp.float32), T) + O
+            ycc = jnp.einsum("...c,oc->...o", rgb.astype(jnp.float32), T,
+                             precision=jax.lax.Precision.HIGHEST) + O
             y = jnp.clip(jnp.round(ycc[..., 0]), 0, 255)
             x = y[:, None] / 255.0
             # static-shape band selection, mirroring `upscale`
@@ -544,7 +547,8 @@ class NetEvaluator:
             cbcr = jnp.clip(jnp.round(ycc[..., 1:]), 0, 255)
             cbcr_sr = bicubic_upscale(jnp.moveaxis(cbcr, -1, 1), scale)
             ycc_sr = jnp.stack([y_sr, cbcr_sr[:, 0], cbcr_sr[:, 1]], axis=-1)
-            rgb_sr = jnp.einsum("...c,oc->...o", ycc_sr - O, Ti)
+            rgb_sr = jnp.einsum("...c,oc->...o", ycc_sr - O, Ti,
+                                precision=jax.lax.Precision.HIGHEST)
             return jnp.clip(jnp.round(rgb_sr), 0, 255).astype(jnp.uint8)
 
         self._yuv_run = _yuv
