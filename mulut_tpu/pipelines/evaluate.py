@@ -513,6 +513,24 @@ class NetEvaluator:
         out = out[0].transpose(1, 2, 0)
         return np.round(np.clip(out, 0, 255)).astype(np.uint8)
 
+    def upscale_batch(self, imgs_lr: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 -> (B, H*scale, W*scale, 3) uint8.
+
+        Batched same-shape throughput path (channels and batch both ride
+        the leading axes of the tap matrix; one dispatch)."""
+        x = jnp.asarray(
+            imgs_lr.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+        )
+        h, w = imgs_lr.shape[1:3]
+        min_dim = self.BAND + 8
+        if h * w > self.TILE_THRESHOLD and max(h, w) >= min_dim:
+            out = np.asarray(self._run_tiled(x, axis=2 if h >= min_dim
+                                             else 3))
+        else:
+            out = np.asarray(self._run(x))
+        out = out.transpose(0, 2, 3, 1)
+        return np.round(np.clip(out, 0, 255)).astype(np.uint8)
+
     _yuv_run = None
 
     def _build_yuv(self):

@@ -146,3 +146,7 @@ def test_net_device_yuv(butterfly):
     p_rgb, _ = psnr_ssim_y(hr, ev.upscale(lr), 4)
     assert p > 20.0
     assert abs(p - p_rgb) < 1.0, (p, p_rgb)
+    # batched surface == per-image surface
+    batch = ev.upscale_batch(np.stack([lr, lr]))
+    assert batch.shape == (2,) + out.shape
+    np.testing.assert_array_equal(batch[0], ev.upscale(lr))
