@@ -35,6 +35,7 @@ Measured (v5e, 8x 480x270 -> 1080p, bit-exact vs the golden PNGs):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +76,105 @@ def _padded_index_take(table, idx):
     return jnp.take(table, jnp.pad(idx, (0, 8)), axis=0)
 
 
+def _contract_kernel(s_ref, b_ref, g_ref, lam_ref, out_ref):
+    """One row block of the post-gather corner contraction, transposed.
+
+    out[j, n] = sum_c lam[n, c] * g[n, c*v + j], emitted as (v, T) —
+    the layout the tail kernel's segment DMAs read — via two selector
+    matmuls that keep every array 2-D and 128-lane-aligned:
+
+      W = lam @ S          # S[c, k] = [k//v == c]: broadcast each weight
+                           # across its corner's v-lane group (exact: S is
+                           # a 0/1 selector, lam holds small integers)
+      P = f32(g) * W       # the only elementwise pass over C*v lanes
+      out = B @ P^T        # B[j, k] = [k%v == j]: group-strided column
+                           # sums, transposed "NT" matmul on the MXU
+
+    Exactness: lam in {0..2**interval} and S/B in {0,1} are bf16-exact;
+    P holds integers up to 127*16 which are NOT bf16-exact, so the B
+    contraction runs at HIGHEST precision (multi-pass bf16 splitting is
+    exact when one operand has a zero low part and sums stay < 2**24).
+    """
+    g = g_ref[...].astype(jnp.float32)
+    w = jax.lax.dot(lam_ref[...], s_ref[...],
+                    precision=jax.lax.Precision.HIGHEST)
+    p = g * w
+    out_ref[...] = jax.lax.dot_general(
+        b_ref[...], p, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.lru_cache(maxsize=None)
+def _selectors(C: int, v: int):
+    k = np.arange(C * v)
+    S = np.zeros((C, C * v), np.float32)
+    S[k // v, k] = 1.0
+    B = np.zeros((v, C * v), np.float32)
+    B[k % v, k] = 1.0
+    return S, B
+
+
+def _use_contract_kernel() -> bool:
+    """Opt-in (MULUT_CONTRACT_KERNEL=1): the v1 kernel loses on-chip.
+
+    Measured v5e, y16+vmem64m config (experiments/_r3_ck.py): 323.4 vs
+    266.1 ms/batch.  Taking lam as an INPUT forces XLA to materialize
+    it ((N,16) f32 fusion 10.3 ms + pad 5.2 ms per rotation — work that
+    previously fused into the reduce), and the B selector matmul at
+    M=16 runs at 12.5% MXU utilization under HIGHEST f32 (10.1 ms per
+    rotation vs its ~1.3 ms bandwidth floor).  Kept for the v2 base:
+    build W in-kernel from the frac planes instead.
+    """
+    return os.environ.get("MULUT_CONTRACT_KERNEL", "0") == "1"
+
+
+def contract_vn(g, lam, *, C: int, v: int, interpret: bool = False):
+    """Fused (v, Np) f32 = einsum('nm,nmv->vn', lam, f32(g)) Pallas pass.
+
+    Replaces XLA's lowering of the post-gather weighted corner reduce,
+    which materializes the CONVERTED f32 copy of the gathered rows plus a
+    {1,0}->{0,1} relayout copy of it — ~10 GB of HBM traffic per 16-corner
+    rotation buffer at 8x1080p vs this kernel's ~1.3 GB (read s8 rows +
+    lam, write the transposed result) — measured 21.7 -> ~2 ms per
+    rotation on v5e (PERF.md r3).  Output junk columns beyond junk rows
+    with lam == 0 are zero; block-padding columns are never read
+    downstream (tail DMA offsets stay inside n_ext).
+    """
+    Np = g.shape[0]
+    T = 4096
+    S, B = _selectors(C, v)
+    return pl.pallas_call(
+        _contract_kernel,
+        out_shape=jax.ShapeDtypeStruct((v, Np), jnp.float32),
+        grid=(pl.cdiv(Np, T),),
+        in_specs=[
+            pl.BlockSpec((C, C * v), lambda i: (0, 0)),
+            pl.BlockSpec((v, C * v), lambda i: (0, 0)),
+            pl.BlockSpec((T, C * v), lambda i: (i, 0)),
+            pl.BlockSpec((T, C), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((v, T), lambda i: (0, i)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # see tail_assemble: an uncapped pallas VMEM reservation
+            # halves XLA's scoped-VMEM grants to the gather fusions
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(S), jnp.asarray(B), g, lam)
+
+
+def _contract(g, lam, *, C: int, v: int):
+    """Dispatch the flat contraction: Pallas kernel on TPU (interpret
+    elsewhere, keeping CI coverage of the kernel logic), XLA einsum when
+    disabled via MULUT_CONTRACT_KERNEL=0."""
+    if _use_contract_kernel():
+        interp = jax.default_backend() != "tpu"
+        return contract_vn(g, lam, C=C, v=v, interpret=interp).T
+    return jnp.einsum(
+        "nm,nmv->nv", lam, g.reshape(-1, C, v).astype(jnp.float32)
+    )
+
+
 def folded_flat(flut, img, *, mode: str, v: int, interval: int):
     """Flat rank-folded contraction of a 90-degree-symmetric mode.
 
@@ -104,10 +204,7 @@ def folded_flat(flut, img, *, mode: str, v: int, interval: int):
     )
     terms = flut.shape[1] // (4 * v)
     lam = jnp.pad(lam, ((0, 8), (0, max(0, terms - 5))))
-    ext = jnp.einsum(
-        "nm,nmv->nv", lam,
-        g.reshape(n_ext + 8, terms, 4 * v).astype(jnp.float32),
-    )
+    ext = _contract(g, lam, C=terms, v=4 * v)
     offs = [(sy + my) * we + (sx_ + mx) for (sy, sx_), _ in geo]
     return ext, he, we, offs
 
@@ -152,10 +249,7 @@ def quad_flat(lut, img, *, mode: str, v: int, interval: int):
                 lut, sx._lehmer_code(*fr) * (lut.shape[0] // 24) + base
             )
         lam = jnp.pad(lam, ((0, 8), (0, 0)))
-        outs.append(jnp.einsum(
-            "nm,nmv->nv", lam,
-            g.reshape(n + 8, terms, v).astype(jnp.float32),
-        ))
+        outs.append(_contract(g, lam, C=terms, v=v))
     return outs, wy
 
 
