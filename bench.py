@@ -165,7 +165,13 @@ def main():
                     continue
             else:
                 sync(out0)
-            dt = (wall(run, eluts, 2 * n) - wall(run, eluts, n)) / n
+            # min of two marginals: the axon tunnel intermittently adds
+            # a ~3.4 s stall to one timing group (measured 2026-08-18);
+            # a stall can only inflate a marginal, so the min is robust
+            dt = min(
+                (wall(run, eluts, 2 * n) - wall(run, eluts, n)) / n
+                for _ in range(2)
+            )
             print(f"[{label}] {dt * 1e3:.1f} ms/batch", file=sys.stderr)
             if best is None or dt < best[0]:
                 best = (dt, label)

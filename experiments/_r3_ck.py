@@ -9,6 +9,9 @@ kernel reads the gathered s8 rows directly and emits the transposed
 XLA path before timing.
 
 Usage: python experiments/_r3_ck.py [stock|y16|sdy16] [--trace]
+
+A/Bs the group-fold contraction kernel (MULUT_FOLD_KERNEL) against the
+XLA einsum lowering inside the full cascade.
 """
 import functools
 import os
@@ -64,8 +67,10 @@ def main():
 
     tabs_d = jax.device_put(tabs)
 
+    knob = "MULUT_FOLD_KERNEL"
+
     # XLA-contraction oracle first
-    os.environ["MULUT_CONTRACT_KERNEL"] = "0"
+    os.environ[knob] = "0"
     run0 = jax.jit(make_fn(), compiler_options=copts)
     t0 = time.time()
     base = np.asarray(run0(tabs_d, img))
@@ -75,7 +80,7 @@ def main():
           f"{B*H*W*16/1e6/dt:.1f} MPix/s", flush=True)
     del run0
 
-    os.environ["MULUT_CONTRACT_KERNEL"] = "1"
+    os.environ[knob] = "1"
     run1 = jax.jit(make_fn(), compiler_options=copts)
     t0 = time.time()
     out = np.asarray(run1(tabs_d, img))

@@ -157,11 +157,11 @@ def rotation_ensemble_lanes_quad_int(lut, img, *, mode: str, upscale: int,
                 g = jnp.take(
                     luts4[r],
                     _lehmer_code(*fr) * (luts4[r].shape[0] // 24) + base,
-                    axis=0,
+                    axis=0, mode="clip",
                 )
             else:
                 lam = corner_lams(*fr, interval=interval)
-                g = jnp.take(luts4[r], base, axis=0)
+                g = jnp.take(luts4[r], base, axis=0, mode="clip")
             o = jnp.einsum(
                 "nm,nmv->nv", lam,
                 g.reshape(n, terms, v).astype(jnp.float32),
@@ -231,14 +231,14 @@ def rotation_ensemble_lanes_folded_int(flut, img, *, mode: str, upscale: int,
             lam = sorted_weights(*fr, interval=interval)
             g = jnp.take(
                 flut, _lehmer_code(*fr) * (flut.shape[0] // 24) + base,
-                axis=0,
+                axis=0, mode="clip",
             )
             terms = flut.shape[1] // (4 * v)  # >= 5: rows tile-padded
             if terms > 5:
                 lam = jnp.pad(lam, ((0, 0), (0, terms - 5)))
         else:
             lam = corner_lams(*fr, interval=interval)
-            g = jnp.take(flut, base, axis=0)
+            g = jnp.take(flut, base, axis=0, mode="clip")
             terms = 16
         ext = jnp.einsum(
             "nm,nmv->nv", lam,

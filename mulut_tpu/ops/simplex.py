@@ -198,6 +198,41 @@ def corner_lams(fa, fb, fc, fd, *, interval: int = 4):
     return jnp.where(ok, ws, 0.0)
 
 
+def corner_lams_t(fa, fb, fc, fd, *, interval: int = 4):
+    """`corner_lams` transposed: (16, N) float32 over FLAT (N,) fracs.
+
+    The transposed layout is the TPU-native weight form: with N on the
+    minor (lane) axis the array tiles at full 128-lane density, whereas
+    an (N, 16) array wastes 112 of every 128 lanes — on v5e each touch
+    of an (N, 16) f32 weight buffer (pad, relayout copy) measured ~5 ms
+    per 3.3M-row rotation at 1/8 effective bandwidth.  Built by
+    broadcasting (1, N) pixel rows against (16, 1) corner-constant
+    columns so the output is ONE natural-{1,0} (16, N) fusion.
+    """
+    q = 2 ** interval
+    s0, s1, s2, s3 = _sorted_fractions(fa, fb, fc, fd)
+    w = [
+        x.astype(jnp.float32)
+        for x in (q - s0, s0 - s1, s1 - s2, s2 - s3, s3)
+    ]
+    ranks = _fraction_ranks(fa, fb, fc, fd)
+    bits = np.array(
+        [[(m >> 3) & 1, (m >> 2) & 1, (m >> 1) & 1, m & 1]
+         for m in range(16)]
+    )
+    kk = jnp.asarray(bits.sum(1))                      # (16,)
+    ok = None
+    for x, r in enumerate(ranks):
+        want = jnp.asarray(bits[:, x] == 1)            # (16,)
+        cond = (r[None, :] < kk[:, None]) == want[:, None]
+        ok = cond if ok is None else ok & cond
+    ws = None
+    for k in range(5):
+        term = jnp.where(kk[:, None] == k, w[k][None, :], 0.0)
+        ws = term if ws is None else ws + term
+    return jnp.where(ok, ws, 0.0)                      # (16, N)
+
+
 def _base_and_fracs(planes, *, interval: int):
     """Flat (N,) LUT base index and the four LSB fractions."""
     q = 2 ** interval
@@ -245,7 +280,7 @@ def simplex_planes_expanded_int(elut, planes, *, v: int, interval: int = 4):
     ]
     ra, rb, rc, rd = _fraction_ranks(fa, fb, fc, fd)
 
-    g = jnp.take(elut, base, axis=0)                     # (N, 16*v) int8
+    g = jnp.take(elut, base, axis=0, mode="clip")       # (N, 16*v) int8
     g = g.reshape(-1, 16, v).astype(jnp.float32)
 
     # rank_x < k indicators for k = 1..3 (k=0: no dims, k=4: all dims)
@@ -302,7 +337,7 @@ def simplex_planes_folded_int(flut, planes, *, v: int, interval: int = 4):
     lead = planes[0].shape
     base, (fa, fb, fc, fd) = _base_and_fracs(planes, interval=interval)
     lam = corner_lams(fa, fb, fc, fd, interval=interval)  # (N, 16)
-    g = jnp.take(flut, base, axis=0)                      # (N, 16*4*v) int8
+    g = jnp.take(flut, base, axis=0, mode="clip")        # (N, 16*4*v) int8
     width = 4 * v
     out = jnp.einsum(
         "nm,nmv->nv", lam, g.reshape(-1, 16, width).astype(jnp.float32)
@@ -340,6 +375,22 @@ def sorted_weights(fa, fb, fc, fd, *, interval: int = 4):
     )
 
 
+def sorted_weights_t(fa, fb, fc, fd, *, interval: int = 4):
+    """`sorted_weights` transposed: (5, N) float32 over FLAT (N,) fracs.
+
+    N on the minor (lane) axis tiles at full 128-lane density — the
+    TPU-native weight form for Pallas (C, T) weight blocks (see
+    `corner_lams_t` for the measured cost of the (N, C) orientation).
+    """
+    q = 2 ** interval
+    s0, s1, s2, s3 = _sorted_fractions(fa, fb, fc, fd)
+    return jnp.stack(
+        [x.astype(jnp.float32) for x in (q - s0, s0 - s1, s1 - s2, s2 - s3,
+                                         s3)],
+        axis=0,
+    )
+
+
 def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
                                    interval: int = 4):
     """Rank-expanded rotation-folded interpolation: 5-corner rows.
@@ -359,7 +410,7 @@ def simplex_planes_rank_folded_int(rflut, planes, *, v: int,
     if terms > 5:
         lam = jnp.pad(lam, ((0, 0), (0, terms - 5)))
     idx = _lehmer_code(fa, fb, fc, fd) * (rflut.shape[0] // 24) + base
-    g = jnp.take(rflut, idx, axis=0)                      # (N, terms*4*v)
+    g = jnp.take(rflut, idx, axis=0, mode="clip")        # (N, terms*4*v)
     out = jnp.einsum(
         "nk,nkv->nv", lam, g.reshape(-1, terms, 4 * v).astype(jnp.float32)
     )
@@ -382,7 +433,7 @@ def simplex_planes_rank_quad_int(rluts4, planes4, *, v: int,
         lam = sorted_weights(fa, fb, fc, fd, interval=interval)
         idx = (_lehmer_code(fa, fb, fc, fd) * (rluts4[r].shape[0] // 24)
                + base)
-        g = jnp.take(rluts4[r], idx, axis=0)                  # (N, 5*v)
+        g = jnp.take(rluts4[r], idx, axis=0, mode="clip")    # (N, 5*v)
         o = jnp.einsum(
             "nk,nkv->nv", lam, g.reshape(-1, 5, v).astype(jnp.float32)
         )
@@ -416,7 +467,7 @@ def simplex_planes_quad_int(luts4, planes4, *, v: int, interval: int = 4):
     for r in range(4):
         base, fr = _base_and_fracs(planes4[r], interval=interval)
         lam = corner_lams(*fr, interval=interval)          # (N, 16)
-        g = jnp.take(luts4[r], base, axis=0)               # (N, 16*v)
+        g = jnp.take(luts4[r], base, axis=0, mode="clip")  # (N, 16*v)
         o = jnp.einsum(
             "nm,nmv->nv", lam, g.reshape(-1, 16, v).astype(jnp.float32)
         )

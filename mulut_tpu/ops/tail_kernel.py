@@ -72,36 +72,78 @@ def _padded_index_take(table, idx):
     43.6 vs 22.5 ms per stage-2 mode).  The 8 junk rows ride through the
     contraction (slicing them off would break the int8-direct einsum
     fusion) and are never read by the tail kernel's segment DMAs.
+
+    mode="clip": jnp.take's default under jit is "fill", which emits a
+    SELECT over the full gathered buffer (in-bounds mask x rows) — 16-18
+    ms/batch of pure VPU+HBM waste at 8x1080p ("broadcast_select_fusion"
+    ops in the trace).  Cascade indices are in-bounds by construction
+    (base < L**4, junk pad rows gather row 0), so clip == fill here and
+    the clamp fuses into the index computation for free.
     """
-    return jnp.take(table, jnp.pad(idx, (0, 8)), axis=0)
+    return jnp.take(table, jnp.pad(idx, (0, 8)), axis=0, mode="clip")
 
 
-def _contract_kernel(s_ref, b_ref, g_ref, lam_ref, out_ref):
-    """One row block of the post-gather corner contraction, transposed.
+def _fold_kernel(s_ref, g_ref, w_ref, out_ref, *, u: int):
+    """One row block of the weighted group-fold contraction.
 
-    out[j, n] = sum_c lam[n, c] * g[n, c*v + j], emitted as (v, T) —
-    the layout the tail kernel's segment DMAs read — via two selector
-    matmuls that keep every array 2-D and 128-lane-aligned:
+    out[j, n] = sum_c w[c, n] * g[n, c*u + j], emitted transposed as
+    (u, T) — the layout the tail kernel's segment DMAs read.  Two cheap
+    stages, both exact:
 
-      W = lam @ S          # S[c, k] = [k//v == c]: broadcast each weight
-                           # across its corner's v-lane group (exact: S is
-                           # a 0/1 selector, lam holds small integers)
-      P = f32(g) * W       # the only elementwise pass over C*v lanes
-      out = B @ P^T        # B[j, k] = [k%v == j]: group-strided column
-                           # sums, transposed "NT" matmul on the MXU
+      W = w^T "TN"@ S  # (T, C*u): broadcast weight c across its u-lane
+                       # group.  One dot_general contracting dim 0 of
+                       # both operands — the MXU absorbs the transpose,
+                       # so the (C, T) natural-layout weight block needs
+                       # no in-kernel relayout.  Exact at DEFAULT (bf16)
+                       # precision: each S column is one-hot (a single
+                       # product, no accumulation) and the weights are
+                       # integers <= 2**interval.
+      P = f32(g) * W   # one elementwise pass over the C*u lanes
+      out = sum of the C static u-lane slices of P (VPU adds of
+      integer-valued f32, |sums| <= 127 * 2**interval — exact)
 
-    Exactness: lam in {0..2**interval} and S/B in {0,1} are bf16-exact;
-    P holds integers up to 127*16 which are NOT bf16-exact, so the B
-    contraction runs at HIGHEST precision (multi-pass bf16 splitting is
-    exact when one operand has a zero low part and sums stay < 2**24).
+    This shape deliberately contains NO reduction matmul: a (u, C*u)
+    selector contraction puts M=u=16..64 on the MXU at 1/8-1/2 lane
+    utilization under 6-pass HIGHEST f32 — measured 10.1 ms per
+    rotation buffer (git history: contract_vn v1) vs ~1 ms for the
+    slice adds.  Weights arrive as a TRANSPOSED (C, N) input: they
+    derive from 1-D frac arrays whose sort-network fusion XLA runs at
+    full lane utilization, and the transposed orientation keeps every
+    XLA-side touch (pad, fuse) at full 128-lane density — the v1
+    kernel's (N, C) weight input cost ~47 ms/batch in 6-lane-wide pads
+    and {0,1}->{1,0} copies (git history: contract_vn v1); rebuilding
+    weights in-kernel at (T, 16) shapes ran at 16/128 lane utilization
+    and cost 22 ms per buffer (git history: contract16_vn v2).
     """
-    g = g_ref[...].astype(jnp.float32)
-    w = jax.lax.dot(lam_ref[...], s_ref[...],
-                    precision=jax.lax.Precision.HIGHEST)
-    p = g * w
-    out_ref[...] = jax.lax.dot_general(
-        b_ref[...], p, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
+    W = jax.lax.dot_general(
+        w_ref[...], s_ref[...], (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT)             # (T, C*u)
+    p = g_ref[...].astype(jnp.float32) * W
+    CW = p.shape[1]
+    if u < 128 and 128 % u == 0 and CW % 128 == 0 and \
+            (CW // 128) & (CW // 128 - 1) == 0:
+        # Tree fold in full-128-lane space: sub-128-lane slice adds cost
+        # a Mosaic lane relayout EACH (u=16: 15 adds measured 13.3 ms vs
+        # 4.1 for the whole u=64 kernel on a 1.5x BIGGER buffer).  Halve
+        # down to one lane tile, then a log2(128/u) rotate-add ladder;
+        # wrapped upper lanes are garbage but only [:u] is read.  All
+        # sums are integer-valued f32 < 2**24 — exact in any order.
+        h = p
+        while h.shape[1] > 128:
+            half = h.shape[1] // 2
+            h = h[:, :half] + h[:, half:]
+        s = 64
+        while s >= u:
+            # roll left by s == roll right by 128 - s (pltpu.roll only
+            # accepts non-negative shifts)
+            h = h + pltpu.roll(h, shift=128 - s, axis=1)
+            s //= 2
+        h = h[:, :u]
+    else:
+        h = p[:, :u]
+        for c in range(1, CW // u):
+            h = h + p[:, c * u:(c + 1) * u]
+    out_ref[...] = h.T                                   # (u, T)
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,62 +156,77 @@ def _selectors(C: int, v: int):
     return S, B
 
 
-def _use_contract_kernel() -> bool:
-    """Opt-in (MULUT_CONTRACT_KERNEL=1): the v1 kernel loses on-chip.
-
-    Measured v5e, y16+vmem64m config (experiments/_r3_ck.py): 323.4 vs
-    266.1 ms/batch.  Taking lam as an INPUT forces XLA to materialize
-    it ((N,16) f32 fusion 10.3 ms + pad 5.2 ms per rotation — work that
-    previously fused into the reduce), and the B selector matmul at
-    M=16 runs at 12.5% MXU utilization under HIGHEST f32 (10.1 ms per
-    rotation vs its ~1.3 ms bandwidth floor).  Kept for the v2 base:
-    build W in-kernel from the frac planes instead.
-    """
-    return os.environ.get("MULUT_CONTRACT_KERNEL", "0") == "1"
+def _use_fold_kernel() -> bool:
+    """Weighted group-fold Pallas contraction (MULUT_FOLD_KERNEL=0 to
+    fall back to the XLA einsum lowering)."""
+    return os.environ.get("MULUT_FOLD_KERNEL", "1") != "0"
 
 
-def contract_vn(g, lam, *, C: int, v: int, interpret: bool = False):
-    """Fused (v, Np) f32 = einsum('nm,nmv->vn', lam, f32(g)) Pallas pass.
+def fold_contract(g, wt, *, C: int, u: int, interpret: bool = False,
+                  T: int = 4096):
+    """Fused (u, Np) f32 = einsum('cn,ncu->un', wt, f32(g)) Pallas pass.
 
     Replaces XLA's lowering of the post-gather weighted corner reduce,
-    which materializes the CONVERTED f32 copy of the gathered rows plus a
-    {1,0}->{0,1} relayout copy of it — ~10 GB of HBM traffic per 16-corner
-    rotation buffer at 8x1080p vs this kernel's ~1.3 GB (read s8 rows +
-    lam, write the transposed result) — measured 21.7 -> ~2 ms per
-    rotation on v5e (PERF.md r3).  Output junk columns beyond junk rows
-    with lam == 0 are zero; block-padding columns are never read
-    downstream (tail DMA offsets stay inside n_ext).
+    which (a) relayout-copies the gathered s8 rows {1,0}->{0,1} to feed
+    its multiply_reduce fusion and (b) materializes an f32 CONVERTED
+    copy of them — 13.5 + 8.1 ms of pure HBM traffic per bench batch in
+    the stock engine config, plus 16 ms of multiply_reduce — while this
+    kernel reads the gathered rows once, in their natural gather layout.
+    Weights wt are TRANSPOSED (C, Np) and must already carry the +8
+    zero junk lanes (both callers pad), which keeps junk output rows
+    zero exactly like the einsum.
     """
     Np = g.shape[0]
-    T = 4096
-    S, B = _selectors(C, v)
+    S, _ = _selectors(C, u)
     return pl.pallas_call(
-        _contract_kernel,
-        out_shape=jax.ShapeDtypeStruct((v, Np), jnp.float32),
+        functools.partial(_fold_kernel, u=u),
+        out_shape=jax.ShapeDtypeStruct((u, Np), jnp.float32),
         grid=(pl.cdiv(Np, T),),
         in_specs=[
-            pl.BlockSpec((C, C * v), lambda i: (0, 0)),
-            pl.BlockSpec((v, C * v), lambda i: (0, 0)),
-            pl.BlockSpec((T, C * v), lambda i: (i, 0)),
-            pl.BlockSpec((T, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, C * u), lambda i: (0, 0)),
+            pl.BlockSpec((T, C * u), lambda i: (i, 0)),
+            pl.BlockSpec((C, T), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((v, T), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((u, T), lambda i: (0, i)),
         compiler_params=None if interpret else pltpu.CompilerParams(
             # see tail_assemble: an uncapped pallas VMEM reservation
             # halves XLA's scoped-VMEM grants to the gather fusions
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jnp.asarray(S), jnp.asarray(B), g, lam)
+    )(jnp.asarray(S), g, wt)
 
 
-def _contract(g, lam, *, C: int, v: int):
-    """Dispatch the flat contraction: Pallas kernel on TPU (interpret
-    elsewhere, keeping CI coverage of the kernel logic), XLA einsum when
-    disabled via MULUT_CONTRACT_KERNEL=0."""
-    if _use_contract_kernel():
+def _contract(g, fr, *, C: int, v: int, interval: int):
+    """Dispatch the flat contraction: the group-fold Pallas kernel by
+    default (interpret mode off-TPU, keeping CI parity coverage), the
+    XLA einsum lowering under MULUT_FOLD_KERNEL=0.
+
+    Takes the raw frac planes and builds the weight array in the
+    orientation the chosen lowering wants: (N, C) for the einsum (its
+    historical form — XLA fuses it into the multiply_reduce), TRANSPOSED
+    (C, N) for the kernel (full-lane-density pads, no relayout copy —
+    see `_fold_kernel`).  C == 16 selects the 16-corner weight form
+    (`corner_lams`), anything else the rank/simplex form
+    (`sorted_weights`, zero-padded up to C columns).
+
+    The kernel output is (v, Np); the `.T` restores this function's
+    (Np, v) contract and cancels against `tail_assemble`'s `ext.T`
+    (transpose-of-transpose folds away in the HLO simplifier).
+    """
+    if _use_fold_kernel():
+        if C == 16:
+            wt = sx.corner_lams_t(*fr, interval=interval)
+        else:
+            wt = sx.sorted_weights_t(*fr, interval=interval)
+        wt = jnp.pad(wt, ((0, C - wt.shape[0]), (0, 8)))
         interp = jax.default_backend() != "tpu"
-        return contract_vn(g, lam, C=C, v=v, interpret=interp).T
+        return fold_contract(g, wt, C=C, u=v, interpret=interp).T
+    if C == 16:
+        lam = sx.corner_lams(*fr, interval=interval)
+    else:
+        lam = sx.sorted_weights(*fr, interval=interval)
+    lam = jnp.pad(lam, ((0, 8), (0, C - lam.shape[1])))
     return jnp.einsum(
         "nm,nmv->nv", lam, g.reshape(-1, C, v).astype(jnp.float32)
     )
@@ -198,13 +255,11 @@ def folded_flat(flut, img, *, mode: str, v: int, interval: int):
     ]
     n_ext = int(np.prod(planes[0].shape))
     base, fr = sx._base_and_fracs(planes, interval=interval)
-    lam = sx.sorted_weights(*fr, interval=interval)
     g = _padded_index_take(
         flut, sx._lehmer_code(*fr) * (flut.shape[0] // 24) + base
     )
     terms = flut.shape[1] // (4 * v)
-    lam = jnp.pad(lam, ((0, 8), (0, max(0, terms - 5))))
-    ext = _contract(g, lam, C=terms, v=4 * v)
+    ext = _contract(g, fr, C=terms, v=4 * v, interval=interval)
     offs = [(sy + my) * we + (sx_ + mx) for (sy, sx_), _ in geo]
     return ext, he, we, offs
 
@@ -230,7 +285,6 @@ def quad_flat(lut, img, *, mode: str, v: int, interval: int):
     hy = h + 1
     wy = _pad128(w)
     xp = _pad_ragged(img, pad, wy - w)
-    n = int(np.prod(img.shape[:-2])) * hy * wy
     terms = lut.shape[-1] // v
     outs = []
     for r in range(4):
@@ -240,16 +294,12 @@ def quad_flat(lut, img, *, mode: str, v: int, interval: int):
         ]
         base, fr = sx._base_and_fracs(planes, interval=interval)
         if terms == 16:
-            lam = sx.corner_lams(*fr, interval=interval)
             g = _padded_index_take(lut, base)
         else:
-            lam = sx.sorted_weights(*fr, interval=interval)
-            lam = jnp.pad(lam, ((0, 0), (0, max(0, terms - 5))))
             g = _padded_index_take(
                 lut, sx._lehmer_code(*fr) * (lut.shape[0] // 24) + base
             )
-        lam = jnp.pad(lam, ((0, 8), (0, 0)))
-        outs.append(_contract(g, lam, C=terms, v=v))
+        outs.append(_contract(g, fr, C=terms, v=v, interval=interval))
     return outs, wy
 
 

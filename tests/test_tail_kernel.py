@@ -171,34 +171,43 @@ def test_corner16_modes_all_quad(tables):
     assert np.array_equal(got, want)
 
 
-def test_contract_kernel_opt_in(tables, monkeypatch):
-    """MULUT_CONTRACT_KERNEL=1 routes the post-gather corner contraction
-    through the Pallas contract_vn kernel (interpret mode off-TPU) on
-    both the folded and the quad/16-corner paths — bit-identical output.
+def test_fold_kernel_xla_fallback_parity(tables, monkeypatch):
+    """The group-fold Pallas contraction (default) and its XLA einsum
+    fallback (MULUT_FOLD_KERNEL=0) produce byte-identical packed output
+    on both table formats (rank-folded/rank-expanded AND 16-corner).
 
-    The kernel is opt-in: measured on v5e it loses to XLA's lowering
-    (see tail_kernel._use_contract_kernel), but the parity of the
-    selector-matmul formulation is locked here for the v2 iteration.
+    Every other test in this file already runs the default (kernel)
+    path in interpret mode; this one locks the fallback and the
+    equivalence between the two lowerings.
     """
-    tabs, _ = tables
+    tabs, ktabs = tables
     luts = _luts(np.random.default_rng(7))
     k16 = prepare_expanded_luts(
         luts, interval=INTERVAL, shared_quad=True, corner16_modes="y"
     )
-    monkeypatch.setenv("MULUT_CONTRACT_KERNEL", "1")
     rng = np.random.default_rng(29)
     img = jnp.asarray(rng.integers(0, 256, (2, 12, 44), dtype=np.int64),
                       jnp.int32)
-    want = np.asarray(
-        lut_cascade_int(tabs, img, stages=STAGES, modes=MODES, scale=SCALE,
-                        interval=INTERVAL, expanded=True)
-    )
-    packed = tk.lut_cascade_packed(
-        k16, img, stages=STAGES, modes=MODES, scale=SCALE,
-        interval=INTERVAL, interpret=True
-    )
-    got = tk.unpack_u32(packed, (2,), 12, 44, SCALE).astype(np.int32)
-    assert np.array_equal(got, want)
+    for tables_ in (ktabs, k16):
+        packed_kernel = tk.lut_cascade_packed(
+            tables_, img, stages=STAGES, modes=MODES, scale=SCALE,
+            interval=INTERVAL, interpret=True
+        )
+        monkeypatch.setenv("MULUT_FOLD_KERNEL", "0")
+        packed_xla = tk.lut_cascade_packed(
+            tables_, img, stages=STAGES, modes=MODES, scale=SCALE,
+            interval=INTERVAL, interpret=True
+        )
+        monkeypatch.delenv("MULUT_FOLD_KERNEL")
+        assert np.array_equal(np.asarray(packed_kernel),
+                              np.asarray(packed_xla))
+        want = np.asarray(
+            lut_cascade_int(tabs, img, stages=STAGES, modes=MODES,
+                            scale=SCALE, interval=INTERVAL, expanded=True)
+        )
+        got = tk.unpack_u32(packed_kernel, (2,), 12, 44,
+                            SCALE).astype(np.int32)
+        assert np.array_equal(got, want)
 
 
 def test_supports_gate():
