@@ -6,12 +6,13 @@ the corner-expanded int8 gather engine — on the default JAX device,
 upscaling a 480x270 RGB batch to 1920x1080 (x4).
 
 On TPU the bench AUTOTUNES over the framework's bit-exact engine configs
-(stock rank tables; 16-corner stage-2 tables pinned to VMEM via a raised
-scoped-VMEM budget) and reports the fastest — every candidate's unpacked
-output is verified byte-identical to the stock engine before it may win.
-Setting MULUT_CORNER16 and/or MULUT_SCOPED_VMEM_KIB pins ONE explicit
-config (A/B mode, used by the experiment scripts); MULUT_BENCH_AUTOTUNE=0
-forces the stock config.
+(stock rank tables; VMEM-stageable 16-corner stage-2 table forms — see
+prepare_expanded_luts corner16_modes / fold16_modes) and reports the
+fastest — every candidate's unpacked output is verified byte-identical
+to the stock engine before it may win.  Setting MULUT_CORNER16,
+MULUT_FOLD16 and/or MULUT_SCOPED_VMEM_KIB pins ONE explicit config (A/B
+mode, used by the experiment scripts); MULUT_BENCH_AUTOTUNE=0 forces the
+stock config.
 
 Timing method: marginal wall-clock between n and 2n executions with a
 device-to-host sync after each group (plain block_until_ready under-reports
@@ -89,27 +90,33 @@ def main():
         rng.integers(0, 256, (B, 3, H, W), dtype=np.int64), jnp.int32
     )
 
-    # Candidate engine configs: (label, corner16_modes, scoped_vmem_kib).
-    # corner16 trades the s2 rotation-fold for gathers from a shared
-    # 21.4 MB/mode 16-corner table; the raised scoped-VMEM budget is what
-    # lets XLA pin those tables S(1) (~4.4x faster per gathered row than
-    # HBM — PERF.md r3 cost model).  Every candidate is bit-exact.
+    # Candidate engine configs:
+    # (label, corner16_modes, fold16_modes, scoped_vmem_kib).
+    # corner16 trades the s2 rotation-fold of non-symmetric modes for
+    # gathers from a shared 21.4 MB 16-corner table; fold16 keeps the
+    # symmetric modes' rotation fold but drops the 24x rank expansion
+    # (85.5 MB tables).  Both small-table forms get VMEM-staged by XLA
+    # (no scoped-vmem flag needed — the r3 sweep measured the default
+    # budget fastest) and lean on the group-fold Pallas contraction
+    # kernel.  Every candidate is bit-exact vs the stock engine.
     env_c16 = os.environ.get("MULUT_CORNER16")
+    env_f16 = os.environ.get("MULUT_FOLD16")
     env_vmem = os.environ.get("MULUT_SCOPED_VMEM_KIB")
-    autotune = (use_kernel and env_c16 is None and env_vmem is None
+    autotune = (use_kernel and env_c16 is None and env_f16 is None
+                and env_vmem is None
                 and os.environ.get("MULUT_BENCH_AUTOTUNE", "1") != "0")
     if not use_kernel:
-        cands = [("xla", "", None)]
+        cands = [("xla", "", "", None)]
     elif autotune:
         cands = [
-            ("stock", "", None),
-            ("y16+vmem64m", "y", 65536),
-            ("sdy16+vmem96m", "sdy", 98304),
+            ("stock", "", "", None),
+            ("y16", "y", "", None),
+            ("y16+f16sd", "y", "sd", None),
         ]
     else:
         # Explicit A/B config from the environment (or autotune disabled):
         # tpu_compiler_options() picks up MULUT_SCOPED_VMEM_KIB itself.
-        cands = [("env", env_c16 or "", None)]
+        cands = [("env", env_c16 or "", env_f16 or "", None)]
 
     def sync(out):
         # tiny device-to-host slice: forces a full drain without paying
@@ -127,11 +134,12 @@ def main():
     n = int(os.environ.get("MULUT_BENCH_N", "4"))
     best = None  # (dt, label)
     golden = None  # stock unpacked output, parity oracle for candidates
-    for label, c16, kib in cands:
+    for label, c16, f16, kib in cands:
         try:
             eluts = prepare_expanded_luts_cached(
                 luts, interval=interval, shared_quad=use_kernel,
                 corner16_modes=c16 if use_kernel else "",
+                fold16_modes=f16 if use_kernel else "",
             )
             copts = tpu_compiler_options(scoped_vmem_kib=kib)
             if use_kernel:

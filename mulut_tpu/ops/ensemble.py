@@ -272,6 +272,7 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
                                  rank: bool = True,
                                  shared_quad: bool = False,
                                  corner16_modes: str = "",
+                                 fold16_modes: str = "",
                                  cache_dir: str | None = None) -> dict:
     """`prepare_expanded_luts` with a host-side disk cache.
 
@@ -299,7 +300,8 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     # entries for the default layout stay valid.
     # v3: rank tables switched to rank-major row order
     tag = (f"v3:{interval}:{rank}" + (":sq" if shared_quad else "")
-           + (f":c16={corner16_modes}" if corner16_modes else ""))
+           + (f":c16={corner16_modes}" if corner16_modes else "")
+           + (f":f16={fold16_modes}" if fold16_modes else ""))
     h.update(tag.encode())
     for key in sorted(luts):
         arr = np.ascontiguousarray(np.asarray(luts[key], np.int8))
@@ -312,7 +314,7 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
             return {k: z[k] for k in z.files}
     out = prepare_expanded_luts(
         luts, interval=interval, rank=rank, shared_quad=shared_quad,
-        corner16_modes=corner16_modes,
+        corner16_modes=corner16_modes, fold16_modes=fold16_modes,
     )
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
@@ -357,7 +359,8 @@ def _prune_cache_dir(cache_dir: str, *, keep: str,
 def prepare_expanded_luts(luts: dict, *, interval: int = 4,
                           rank: bool = True,
                           shared_quad: bool = False,
-                          corner16_modes: str = "") -> dict:
+                          corner16_modes: str = "",
+                          fold16_modes: str = "") -> dict:
     """Host-side: corner-expanded device tables, rotation-folded when legal.
 
     Per "s{stage}_{mode}" key:
@@ -405,7 +408,14 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
         # Rank expansion is a byte-bound-gather optimization; only the
         # wide (v > 1) tables are byte-bound, and at interval < 4 the 24x
         # row blowup stops fitting HBM comfortably (L=33 -> 28.5M rows).
-        use_rank = rank and v > 1 and L <= 17
+        use_rank = (rank and v > 1 and L <= 17
+                    and mode not in fold16_modes)
+        # fold16_modes: symmetric modes listed here keep the rotation
+        # fold but drop the 24x rank expansion — plain 16-corner folded
+        # rows (`fold_lut`, (L**4, 64*v) = 85.5 MB at interval 4 / v 16,
+        # 9x smaller than the rank table).  Gathered bytes rise 16/5x,
+        # but the small table's locality + the group-fold kernel's
+        # 128-lane tree reduction make the 16-corner contraction cheap.
         if shared_quad and v > 1 and mode in corner16_modes:
             # Shared un-permuted 16-corner rows: (L**4, 16*v) s8 — only
             # 21.4 MB at interval 4 / v 16, small enough for XLA to

@@ -255,10 +255,16 @@ def folded_flat(flut, img, *, mode: str, v: int, interval: int):
     ]
     n_ext = int(np.prod(planes[0].shape))
     base, fr = sx._base_and_fracs(planes, interval=interval)
-    g = _padded_index_take(
-        flut, sx._lehmer_code(*fr) * (flut.shape[0] // 24) + base
-    )
     terms = flut.shape[1] // (4 * v)
+    if terms == 16:
+        # 16-corner folded table (simplex_tables.fold_lut): row `base`
+        # holds all 16 hypercube corners of all 4 rotations; weights are
+        # the per-pixel corner_lams (chosen by _contract via C == 16).
+        g = _padded_index_take(flut, base)
+    else:
+        g = _padded_index_take(
+            flut, sx._lehmer_code(*fr) * (flut.shape[0] // 24) + base
+        )
     ext = _contract(g, fr, C=terms, v=4 * v, interval=interval)
     offs = [(sy + my) * we + (sx_ + mx) for (sy, sx_), _ in geo]
     return ext, he, we, offs

@@ -74,16 +74,24 @@ class LutEvaluator:
         # request limits (and re-upload per compiled shape).  The host-side
         # expansion itself is disk-cached (minutes of build time per
         # construction otherwise).
-        # MULUT_CORNER16 (e.g. "y" or "sdy") switches the listed modes'
-        # final-stage tables to the (L**4, 16*v) shared 16-corner form —
-        # VMEM-pinnable under a raised --xla_tpu_scoped_vmem_limit_kib
-        # (see PERF.md r3 cost model); kernel-path only, bit-identical.
+        # Kernel-path table formats (bit-identical; defaults are the
+        # measured v5e winners, PERF.md r3):
+        #  * corner16_modes ("y"): non-symmetric final-stage modes use the
+        #    (L**4, 16*v) shared 16-corner table — 21.4 MB, XLA pins it
+        #    S(1) (VMEM) where gathers run ~1.9x faster per row;
+        #  * fold16_modes ("sd"): symmetric final-stage modes keep the
+        #    rotation fold but drop the 24x rank expansion — (L**4, 64*v)
+        #    = 85.5 MB, also VMEM-staged (7.15 -> 3.7 ns/row), with the
+        #    group-fold Pallas kernel absorbing the 16-corner contraction.
+        # MULUT_CORNER16 / MULUT_FOLD16 override (e.g. "" reverts to the
+        # rank-expanded HBM tables).
         import os
 
-        c16 = os.environ.get("MULUT_CORNER16", "") if self.kernel else ""
+        c16 = os.environ.get("MULUT_CORNER16", "y") if self.kernel else ""
+        f16 = os.environ.get("MULUT_FOLD16", "sd") if self.kernel else ""
         tabs = prepare_expanded_luts_cached(
             luts, interval=interval, shared_quad=self.kernel,
-            corner16_modes=c16,
+            corner16_modes=c16, fold16_modes=f16,
         )
         if self.mesh is not None:
             from ..parallel.mesh import replicate_tree
