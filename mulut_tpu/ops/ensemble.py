@@ -273,6 +273,7 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
                                  shared_quad: bool = False,
                                  corner16_modes: str = "",
                                  fold16_modes: str = "",
+                                 k128_stage1: str = "",
                                  cache_dir: str | None = None) -> dict:
     """`prepare_expanded_luts` with a host-side disk cache.
 
@@ -301,7 +302,8 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     # v3: rank tables switched to rank-major row order
     tag = (f"v3:{interval}:{rank}" + (":sq" if shared_quad else "")
            + (f":c16={corner16_modes}" if corner16_modes else "")
-           + (f":f16={fold16_modes}" if fold16_modes else ""))
+           + (f":f16={fold16_modes}" if fold16_modes else "")
+           + (f":k1={k128_stage1}" if k128_stage1 else ""))
     h.update(tag.encode())
     for key in sorted(luts):
         arr = np.ascontiguousarray(np.asarray(luts[key], np.int8))
@@ -315,6 +317,7 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     out = prepare_expanded_luts(
         luts, interval=interval, rank=rank, shared_quad=shared_quad,
         corner16_modes=corner16_modes, fold16_modes=fold16_modes,
+        k128_stage1=k128_stage1,
     )
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
@@ -360,7 +363,8 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
                           rank: bool = True,
                           shared_quad: bool = False,
                           corner16_modes: str = "",
-                          fold16_modes: str = "") -> dict:
+                          fold16_modes: str = "",
+                          k128_stage1: str = "") -> dict:
     """Host-side: corner-expanded device tables, rotation-folded when legal.
 
     Per "s{stage}_{mode}" key:
@@ -381,6 +385,17 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
         TPU gathers of 16-BYTE rows run ~15x slower than 64-byte rows
         (sub-tile rows defeat the gather unit); int32 widening is free
         exactness-wise (values are |x| <= 127) and costs only 4 MB.
+      * modes listed in k128_stage1 re-lay their v == 1 format as
+        (L**4, 128) int8
+        with corner m's values in lane group [m*8, m*8+8) (rotations
+        0..3 for folded modes, lane m*8 only for non-symmetric ones,
+        zeros elsewhere) — the layout the group-fold Pallas contraction
+        kernel's 128-lane tree reduction consumes directly
+        (`tail_kernel.fold_contract`, C=16, u=8).  This trades 2x
+        gathered bytes (gathers at these widths are row-latency-bound,
+        not byte-bound) for deleting the XLA contraction glue: the
+        {1,0}->{0,1} layout copies, s8->f32 convert materializations and
+        multiply_reduce passes cost ~26 ms per 8x1080p batch (r3 trace).
 
     rank=False falls back to the 16-corner formats everywhere (e.g. to
     bound table memory at small intervals: rank tables cost 24/16 * 5/16
@@ -427,6 +442,21 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
             # gathers.  Format is shape-detected downstream.
             e = simplex_tables.expand_lut(arr.astype(np.int8), interval)
             out[key] = e.reshape(e.shape[0], 16 * v)
+            continue
+        if v == 1 and mode in k128_stage1:
+            # 128-lane kernel layout (see docstring): corner-major groups
+            # of 8 lanes so `fold_contract(C=16, u=8)`'s tree fold runs in
+            # full-128-lane space with zero relayouts.
+            if geo is not None:
+                f = simplex_tables.fold_lut(
+                    arr.astype(np.int8), geo, None, interval
+                ).reshape(-1, 16, 4)
+            else:
+                f = simplex_tables.expand_lut(arr.astype(np.int8), interval)
+                f = f.reshape(f.shape[0], 16, 1)
+            k = np.zeros((f.shape[0], 16, 8), np.int8)
+            k[:, :, : f.shape[2]] = f
+            out[key] = k.reshape(-1, 128)
             continue
         if geo is not None:
             perms = (

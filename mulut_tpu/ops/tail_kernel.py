@@ -83,6 +83,22 @@ def _padded_index_take(table, idx):
     return jnp.take(table, jnp.pad(idx, (0, 8)), axis=0, mode="clip")
 
 
+def _pad8_base_fracs(base, fr):
+    """Append the 8 junk rows at the INDEX/FRAC level, before the weight
+    computation.
+
+    Padding the materialized (C, N) f32 weight buffer afterwards costs a
+    full-buffer copy (~0.64 ms per 213 MB buffer; 8 of them per bench
+    batch in the r3 trace), whereas pads of the 1-D base/frac planes fuse
+    into the gather's index computation and the weight fusion — zero
+    copies.  Junk rows gather in-bounds (base 0) and get the frac-0
+    weight vector; nothing downstream reads them (see
+    `_padded_index_take`), and `jnp.take(mode="clip")` keeps its
+    pad_clamp fusion because N+8 stays non-1024-divisible.
+    """
+    return jnp.pad(base, (0, 8)), tuple(jnp.pad(f, (0, 8)) for f in fr)
+
+
 def _fold_kernel(s_ref, g_ref, w_ref, out_ref, *, u: int):
     """One row block of the weighted group-fold contraction.
 
@@ -163,7 +179,7 @@ def _use_fold_kernel() -> bool:
 
 
 def fold_contract(g, wt, *, C: int, u: int, interpret: bool = False,
-                  T: int = 4096):
+                  T: int | None = None):
     """Fused (u, Np) f32 = einsum('cn,ncu->un', wt, f32(g)) Pallas pass.
 
     Replaces XLA's lowering of the post-gather weighted corner reduce,
@@ -176,6 +192,8 @@ def fold_contract(g, wt, *, C: int, u: int, interpret: bool = False,
     zero junk lanes (both callers pad), which keeps junk output rows
     zero exactly like the einsum.
     """
+    if T is None:
+        T = int(os.environ.get("MULUT_FOLD_T", "4096"))
     Np = g.shape[0]
     S, _ = _selectors(C, u)
     return pl.pallas_call(
@@ -219,17 +237,122 @@ def _contract(g, fr, *, C: int, v: int, interval: int):
             wt = sx.corner_lams_t(*fr, interval=interval)
         else:
             wt = sx.sorted_weights_t(*fr, interval=interval)
-        wt = jnp.pad(wt, ((0, C - wt.shape[0]), (0, 8)))
+        # Junk-row pad only when the caller passed unpadded fracs (the
+        # callers in this module pre-pad via _pad8_base_fracs, making
+        # this a no-op that XLA elides).
+        wt = jnp.pad(wt, ((0, C - wt.shape[0]),
+                          (0, g.shape[0] - wt.shape[1])))
         interp = jax.default_backend() != "tpu"
         return fold_contract(g, wt, C=C, u=v, interpret=interp).T
     if C == 16:
         lam = sx.corner_lams(*fr, interval=interval)
     else:
         lam = sx.sorted_weights(*fr, interval=interval)
-    lam = jnp.pad(lam, ((0, 8), (0, C - lam.shape[1])))
+    lam = jnp.pad(lam, ((0, g.shape[0] - lam.shape[0]),
+                        (0, C - lam.shape[1])))
     return jnp.einsum(
         "nm,nmv->nv", lam, g.reshape(-1, C, v).astype(jnp.float32)
     )
+
+
+def _contract_t(g, fr, *, C: int, u: int, interval: int):
+    """Like `_contract` but emits the TRANSPOSED (u, Np) orientation.
+
+    Consumers that slice per-rotation 1-D pieces out of the result (the
+    stage-1 un-shift adds) want the (u, Np) layout the fold kernel
+    produces natively — taking `_contract`'s (Np, u) would reintroduce a
+    transpose copy of the full buffer.
+    """
+    if _use_fold_kernel():
+        wt = sx.corner_lams_t(*fr, interval=interval)
+        wt = jnp.pad(wt, ((0, C - wt.shape[0]),
+                          (0, g.shape[0] - wt.shape[1])))
+        interp = jax.default_backend() != "tpu"
+        return fold_contract(g, wt, C=C, u=u, interpret=interp)
+    lam = sx.corner_lams(*fr, interval=interval)
+    lam = jnp.pad(lam, ((0, g.shape[0] - lam.shape[0]),
+                        (0, C - lam.shape[1])))
+    return jnp.einsum(
+        "nm,nmu->un", lam, g.reshape(g.shape[0], C, u).astype(jnp.float32)
+    )
+
+
+def stage1_fold_k128(tab, img, *, mode: str, interval: int):
+    """Inner-stage (v == 1) rotation ensemble of a symmetric mode via the
+    group-fold kernel over a 128-lane table.
+
+    `tab` is the (L**4, 128) int8 k128 layout
+    (`prepare_expanded_luts(k128_stage1=True)`): corner m's four rotation
+    values sit in lanes [m*8, m*8+4).  One gather + one `fold_contract`
+    (C=16, u=8) pass yields the (8, N) per-rotation extended-plane values
+    (rows 4..7 exactly zero); rotation un-shifts are 1-D shifted slice
+    adds on the minor axis — no layout copies, converts or
+    multiply_reduce passes (together ~16 ms per 8x1080p batch in the XLA
+    lowering this replaces).  Returns the rotation-summed (..., h, w) f32
+    accumulator (integer-valued; bit-identical to
+    `ensemble.rotation_ensemble_lanes_folded_int`).
+    """
+    geo = fold_geometry(mode)
+    pad = mode_pad(mode)
+    h, w = img.shape[-2], img.shape[-1]
+    my = -min(s_[0] for s_, _ in geo)
+    mx = -min(s_[1] for s_, _ in geo)
+    he, we = h + my, w + mx
+    xp = _pad_ragged(img, pad, 0)
+    planes = [
+        xp[..., pad - my + dy: pad - my + dy + he,
+           pad - mx + dx: pad - mx + dx + we]
+        for dy, dx in mode_taps(mode)
+    ]
+    lead = planes[0].shape
+    n_ext = int(np.prod(lead))
+    base, fr = sx._base_and_fracs(planes, interval=interval)
+    base, fr = _pad8_base_fracs(base, fr)
+    g = jnp.take(tab, base, axis=0, mode="clip")
+    ext = _contract_t(g, fr, C=16, u=8, interval=interval)  # (8, n_ext+8)
+    dmax = my * we + mx
+    m_rows = n_ext - dmax
+    acc = None
+    for r, ((sy, sx_), _) in enumerate(geo):
+        d = (sy + my) * we + (sx_ + mx)
+        piece = ext[r, d: d + m_rows]
+        acc = piece if acc is None else acc + piece
+    acc = jnp.pad(acc, (0, n_ext - m_rows))
+    return acc.reshape(lead)[..., :h, :w]
+
+
+def stage1_quad_k128(tab, img, *, mode: str, interval: int):
+    """Inner-stage (v == 1) rotation ensemble of a non-symmetric mode via
+    the group-fold kernel over a shared 128-lane table.
+
+    `tab` is the (L**4, 128) int8 k128 layout (corner m's value in lane
+    m*8, other lanes zero; at v == 1 there is no output-lane permutation,
+    so one table serves all four rotations).  Each rotation gathers with
+    its own pre-rotated taps and contracts to row 0 of the (8, N) kernel
+    output; the rotation sum is four full-lane-density 1-D adds.
+    Replaces the XLA path's four {1,0}->{0,1} s32 layout copies (~10 ms
+    per 8x1080p batch).  Returns (..., h, w) f32 (integer-valued;
+    bit-identical to `ensemble.rotation_ensemble_lanes_quad_int`).
+    """
+    pad = mode_pad(mode)
+    h, w = img.shape[-2], img.shape[-1]
+    xp = _pad_ragged(img, pad, 0)
+    lead = None
+    acc = None
+    for r in range(4):
+        planes = [
+            xp[..., pad + dy: pad + dy + h, pad + dx: pad + dx + w]
+            for dy, dx in rotated_taps(mode, r)
+        ]
+        lead = planes[0].shape
+        n = int(np.prod(lead))
+        base, fr = sx._base_and_fracs(planes, interval=interval)
+        base, fr = _pad8_base_fracs(base, fr)
+        g = jnp.take(tab, base, axis=0, mode="clip")
+        ext = _contract_t(g, fr, C=16, u=8, interval=interval)  # (8, n+8)
+        piece = ext[0, :n]
+        acc = piece if acc is None else acc + piece
+    return acc.reshape(lead)
 
 
 def folded_flat(flut, img, *, mode: str, v: int, interval: int):
@@ -255,15 +378,17 @@ def folded_flat(flut, img, *, mode: str, v: int, interval: int):
     ]
     n_ext = int(np.prod(planes[0].shape))
     base, fr = sx._base_and_fracs(planes, interval=interval)
+    base, fr = _pad8_base_fracs(base, fr)
     terms = flut.shape[1] // (4 * v)
     if terms == 16:
         # 16-corner folded table (simplex_tables.fold_lut): row `base`
         # holds all 16 hypercube corners of all 4 rotations; weights are
         # the per-pixel corner_lams (chosen by _contract via C == 16).
-        g = _padded_index_take(flut, base)
+        g = jnp.take(flut, base, axis=0, mode="clip")
     else:
-        g = _padded_index_take(
-            flut, sx._lehmer_code(*fr) * (flut.shape[0] // 24) + base
+        g = jnp.take(
+            flut, sx._lehmer_code(*fr) * (flut.shape[0] // 24) + base,
+            axis=0, mode="clip",
         )
     ext = _contract(g, fr, C=terms, v=4 * v, interval=interval)
     offs = [(sy + my) * we + (sx_ + mx) for (sy, sx_), _ in geo]
@@ -299,11 +424,13 @@ def quad_flat(lut, img, *, mode: str, v: int, interval: int):
             for dy, dx in rotated_taps(mode, r)
         ]
         base, fr = sx._base_and_fracs(planes, interval=interval)
+        base, fr = _pad8_base_fracs(base, fr)
         if terms == 16:
-            g = _padded_index_take(lut, base)
+            g = jnp.take(lut, base, axis=0, mode="clip")
         else:
-            g = _padded_index_take(
-                lut, sx._lehmer_code(*fr) * (lut.shape[0] // 24) + base
+            g = jnp.take(
+                lut, sx._lehmer_code(*fr) * (lut.shape[0] // 24) + base,
+                axis=0, mode="clip",
             )
         outs.append(_contract(g, fr, C=terms, v=v, interval=interval))
     return outs, wy
@@ -510,17 +637,29 @@ def lut_cascade_packed(tabs, img, *, stages: int, modes: str, scale: int,
         acc = None
         for mode in modes:
             lut = tabs[f"s{s + 1}_{mode}"]
-            if fold_geometry(mode) is not None:
+            # (L**4, 128) int8 = the k128 kernel layout (see
+            # prepare_expanded_luts k128_stage1); the standard v == 1
+            # forms are 64 lanes (folded) / 16 int32 (quad), so the
+            # width+dtype test is unambiguous.
+            k128 = (lut.ndim == 2 and lut.shape[-1] == 128
+                    and lut.dtype == jnp.int8)
+            if k128 and fold_geometry(mode) is not None:
+                out = stage1_fold_k128(lut, x, mode=mode, interval=interval)
+            elif k128:
+                out = stage1_quad_k128(lut, x, mode=mode, interval=interval)
+            elif fold_geometry(mode) is not None:
                 out = ens.rotation_ensemble_lanes_folded_int(
                     lut, x, mode=mode, upscale=1, interval=interval,
-                )
+                )[..., 0]
             else:
                 out = ens.rotation_ensemble_lanes_quad_int(
                     lut, x, mode=mode, upscale=1, interval=interval,
-                )
+                )[..., 0]
             acc = out if acc is None else acc + out
-        mixed = ens.stage_mix(acc, q=q, avg_factor=len(modes) * 4, bias=127)
-        x = mixed[..., 0]
+        # k128 contributions are integer-valued f32 (< 2**24 — exact);
+        # the mix runs on the int accumulator either way.
+        acc = acc.astype(jnp.int32)
+        x = ens.stage_mix(acc, q=q, avg_factor=len(modes) * 4, bias=127)
     if valid_hw is not None:
         x = ens.clamp_pad_region(x, valid_hw)
     v = scale * scale

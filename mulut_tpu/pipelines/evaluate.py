@@ -83,15 +83,22 @@ class LutEvaluator:
         #    rotation fold but drop the 24x rank expansion — (L**4, 64*v)
         #    = 85.5 MB, also VMEM-staged (7.15 -> 3.7 ns/row), with the
         #    group-fold Pallas kernel absorbing the 16-corner contraction.
-        # MULUT_CORNER16 / MULUT_FOLD16 override (e.g. "" reverts to the
-        # rank-expanded HBM tables).
+        #  * k128_stage1 ("sd"): symmetric INNER-stage modes re-lay their
+        #    v == 1 folded table as (L**4, 128) int8 so the group-fold
+        #    kernel contracts the gathered rows directly — deletes the
+        #    XLA layout-copy/convert/multiply_reduce glue (~9 ms per
+        #    8x1080p batch; the y variant measured slower and stays on
+        #    the s32 XLA path).
+        # MULUT_CORNER16 / MULUT_FOLD16 / MULUT_K128 override (e.g. ""
+        # reverts to the rank-expanded HBM tables / stock stage-1 forms).
         import os
 
         c16 = os.environ.get("MULUT_CORNER16", "y") if self.kernel else ""
         f16 = os.environ.get("MULUT_FOLD16", "sd") if self.kernel else ""
+        k1 = os.environ.get("MULUT_K128", "sd") if self.kernel else ""
         tabs = prepare_expanded_luts_cached(
             luts, interval=interval, shared_quad=self.kernel,
-            corner16_modes=c16, fold16_modes=f16,
+            corner16_modes=c16, fold16_modes=f16, k128_stage1=k1,
         )
         if self.mesh is not None:
             from ..parallel.mesh import replicate_tree

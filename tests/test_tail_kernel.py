@@ -171,6 +171,40 @@ def test_corner16_modes_all_quad(tables):
     assert np.array_equal(got, want)
 
 
+def test_k128_stage1_formats(tables):
+    """prepare_expanded_luts(k128_stage1=...) emits (L**4, 128) int8
+    inner-stage tables (corner-major 8-lane groups for the group-fold
+    kernel); the packed cascade shape-detects them per mode and stays
+    bit-identical — including mixed configs (k128 s/d + stock s32 y, the
+    shipped default) and composition with the 16-corner stage-2 forms."""
+    tabs, _ = tables
+    luts = _luts(np.random.default_rng(7))
+    L = 2 ** (8 - INTERVAL) + 1
+    rng = np.random.default_rng(31)
+    img = jnp.asarray(rng.integers(0, 256, (2, 12, 44), dtype=np.int64),
+                      jnp.int32)
+    want = np.asarray(
+        lut_cascade_int(tabs, img, stages=STAGES, modes=MODES, scale=SCALE,
+                        interval=INTERVAL, expanded=True)
+    )
+    for kw in (
+        dict(k128_stage1="sdy"),
+        dict(k128_stage1="sd", corner16_modes="y", fold16_modes="sd"),
+    ):
+        k1 = prepare_expanded_luts(
+            luts, interval=INTERVAL, shared_quad=True, **kw
+        )
+        for m in kw["k128_stage1"]:
+            assert k1[f"s1_{m}"].shape == (L ** 4, 128)
+            assert k1[f"s1_{m}"].dtype == np.int8
+        packed = tk.lut_cascade_packed(
+            k1, img, stages=STAGES, modes=MODES, scale=SCALE,
+            interval=INTERVAL, interpret=True
+        )
+        got = tk.unpack_u32(packed, (2,), 12, 44, SCALE).astype(np.int32)
+        assert np.array_equal(got, want)
+
+
 def test_fold_kernel_xla_fallback_parity(tables, monkeypatch):
     """The group-fold Pallas contraction (default) and its XLA einsum
     fallback (MULUT_FOLD_KERNEL=0) produce byte-identical packed output
@@ -183,7 +217,8 @@ def test_fold_kernel_xla_fallback_parity(tables, monkeypatch):
     tabs, ktabs = tables
     luts = _luts(np.random.default_rng(7))
     k16 = prepare_expanded_luts(
-        luts, interval=INTERVAL, shared_quad=True, corner16_modes="y"
+        luts, interval=INTERVAL, shared_quad=True, corner16_modes="y",
+        fold16_modes="sd", k128_stage1="sd",
     )
     rng = np.random.default_rng(29)
     img = jnp.asarray(rng.integers(0, 256, (2, 12, 44), dtype=np.int64),
