@@ -8,12 +8,12 @@ upscaling a 480x270 RGB batch to 1920x1080 (x4).
 On TPU the bench AUTOTUNES over the framework's bit-exact engine configs
 (stock rank tables; VMEM-stageable 16-corner stage-2 table forms; the
 128-lane stage-1 kernel layout — see prepare_expanded_luts
-corner16_modes / fold16_modes / k128_stage1) and reports the fastest —
-every candidate's unpacked output is verified byte-identical to the
-stock engine before it may win.  Setting MULUT_CORNER16, MULUT_FOLD16,
-MULUT_K128 and/or MULUT_SCOPED_VMEM_KIB pins ONE explicit config (A/B
-mode, used by the experiment scripts); MULUT_BENCH_AUTOTUNE=0 forces the
-stock config.
+corner16_modes / fold16_modes / k128_stage1 / int8_stage1) and reports
+the fastest — every candidate's unpacked output is verified
+byte-identical to the stock engine before it may win.  Setting
+MULUT_CORNER16, MULUT_FOLD16, MULUT_K128, MULUT_S1_INT8 and/or
+MULUT_SCOPED_VMEM_KIB pins ONE explicit config (A/B mode, used by the
+experiment scripts); MULUT_BENCH_AUTOTUNE=0 forces the stock config.
 
 Timing method: marginal wall-clock between n and 2n executions with a
 device-to-host sync after each group (plain block_until_ready under-reports
@@ -103,27 +103,32 @@ def main():
     env_c16 = os.environ.get("MULUT_CORNER16")
     env_f16 = os.environ.get("MULUT_FOLD16")
     env_k1 = os.environ.get("MULUT_K128")
+    env_s18 = os.environ.get("MULUT_S1_INT8")
     env_vmem = os.environ.get("MULUT_SCOPED_VMEM_KIB")
     autotune = (use_kernel and env_c16 is None and env_f16 is None
-                and env_k1 is None and env_vmem is None
+                and env_k1 is None and env_s18 is None and env_vmem is None
                 and os.environ.get("MULUT_BENCH_AUTOTUNE", "1") != "0")
     # Candidate tuples: (label, corner16_modes, fold16_modes,
-    # k128_stage1, scoped_vmem_kib).  k128_stage1 re-lays the listed
-    # INNER-stage modes' v == 1 tables as (L**4, 128) int8 for the
-    # group-fold kernel (deletes the stage-1 XLA contraction glue; the
-    # y variant measured slower and stays on the s32 XLA path).
+    # k128_stage1, int8_stage1, scoped_vmem_kib).  k128_stage1 re-lays
+    # the listed INNER-stage modes' v == 1 tables as (L**4, 128) int8
+    # for the group-fold kernel (deletes the stage-1 XLA contraction
+    # glue; the y variant measured slower and stays on the s32 XLA
+    # path).  int8_stage1 keeps the listed non-symmetric inner-stage
+    # quad tables int8 (4x smaller gathered buffers -> smaller layout
+    # copies; measured -2.6 ms at the bench shape on v5e).
     if not use_kernel:
-        cands = [("xla", "", "", "", None)]
+        cands = [("xla", "", "", "", "", None)]
     elif autotune:
         cands = [
-            ("stock", "", "", "", None),
-            ("y16+f16sd", "y", "sd", "", None),
-            ("y16+f16sd+k1sd", "y", "sd", "sd", None),
+            ("stock", "", "", "", "", None),
+            ("y16+f16sd+k1sd", "y", "sd", "sd", "", None),
+            ("y16+f16sd+k1sd+s1y8", "y", "sd", "sd", "y", None),
         ]
     else:
         # Explicit A/B config from the environment (or autotune disabled):
         # tpu_compiler_options() picks up MULUT_SCOPED_VMEM_KIB itself.
-        cands = [("env", env_c16 or "", env_f16 or "", env_k1 or "", None)]
+        cands = [("env", env_c16 or "", env_f16 or "", env_k1 or "",
+                  env_s18 or "", None)]
 
     def sync(out):
         # tiny device-to-host slice: forces a full drain without paying
@@ -141,13 +146,14 @@ def main():
     n = int(os.environ.get("MULUT_BENCH_N", "4"))
     best = None  # (dt, label)
     golden = None  # stock unpacked output, parity oracle for candidates
-    for label, c16, f16, k1, kib in cands:
+    for label, c16, f16, k1, s18, kib in cands:
         try:
             eluts = prepare_expanded_luts_cached(
                 luts, interval=interval, shared_quad=use_kernel,
                 corner16_modes=c16 if use_kernel else "",
                 fold16_modes=f16 if use_kernel else "",
                 k128_stage1=k1 if use_kernel else "",
+                int8_stage1=s18 if use_kernel else "",
             )
             copts = tpu_compiler_options(scoped_vmem_kib=kib)
             if use_kernel:

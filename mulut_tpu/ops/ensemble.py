@@ -274,6 +274,7 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
                                  corner16_modes: str = "",
                                  fold16_modes: str = "",
                                  k128_stage1: str = "",
+                                 int8_stage1: str = "",
                                  cache_dir: str | None = None) -> dict:
     """`prepare_expanded_luts` with a host-side disk cache.
 
@@ -303,7 +304,8 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     tag = (f"v3:{interval}:{rank}" + (":sq" if shared_quad else "")
            + (f":c16={corner16_modes}" if corner16_modes else "")
            + (f":f16={fold16_modes}" if fold16_modes else "")
-           + (f":k1={k128_stage1}" if k128_stage1 else ""))
+           + (f":k1={k128_stage1}" if k128_stage1 else "")
+           + (f":s18={int8_stage1}" if int8_stage1 else ""))
     h.update(tag.encode())
     for key in sorted(luts):
         arr = np.ascontiguousarray(np.asarray(luts[key], np.int8))
@@ -317,7 +319,7 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     out = prepare_expanded_luts(
         luts, interval=interval, rank=rank, shared_quad=shared_quad,
         corner16_modes=corner16_modes, fold16_modes=fold16_modes,
-        k128_stage1=k128_stage1,
+        k128_stage1=k128_stage1, int8_stage1=int8_stage1,
     )
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
@@ -364,7 +366,8 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
                           shared_quad: bool = False,
                           corner16_modes: str = "",
                           fold16_modes: str = "",
-                          k128_stage1: str = "") -> dict:
+                          k128_stage1: str = "",
+                          int8_stage1: str = "") -> dict:
     """Host-side: corner-expanded device tables, rotation-folded when legal.
 
     Per "s{stage}_{mode}" key:
@@ -381,10 +384,15 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
       * non-symmetric modes (y, h, o), v > 1: (4, L**4 * 24, 5*v) int8
         rank-expanded per-rotation tables (each rotation gathers with its
         own base and rank code).
-      * non-symmetric modes, v == 1: (L**4, 16) widened to int32.
-        TPU gathers of 16-BYTE rows run ~15x slower than 64-byte rows
-        (sub-tile rows defeat the gather unit); int32 widening is free
-        exactness-wise (values are |x| <= 127) and costs only 4 MB.
+      * non-symmetric modes, v == 1: (L**4, 16) widened to int32 —
+        unless listed in `int8_stage1`, which keeps the rows int8.
+        The r1 rule was that 16-BYTE rows gather ~15x slower than
+        64-byte rows (sub-tile rows defeat the gather unit on
+        HBM-resident tables); the r3 in-context re-measurement shows
+        the 1.3 MB int8 table gets VMEM-staged like the s32 one and
+        the 4x smaller gathered buffers shave the downstream
+        {1,0}->{0,1} layout copies (~2.6 ms per 8x1080p batch, so
+        int8_stage1="y" is the TPU default in the evaluator/bench).
       * modes listed in k128_stage1 re-lay their v == 1 format as
         (L**4, 128) int8
         with corner m's values in lane group [m*8, m*8+8) (rotations
@@ -482,7 +490,8 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
             continue
         e = simplex_tables.expand_lut(arr.astype(np.int8), interval)
         if v == 1:
-            out[key] = e.reshape(e.shape[0], 16).astype(np.int32)
+            dt = np.int8 if mode in int8_stage1 else np.int32
+            out[key] = e.reshape(e.shape[0], 16).astype(dt)
         else:
             copies = [
                 e[:, :, lane_rotation_perm(up, r)].reshape(e.shape[0], -1)

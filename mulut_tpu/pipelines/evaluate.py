@@ -89,16 +89,24 @@ class LutEvaluator:
         #    XLA layout-copy/convert/multiply_reduce glue (~9 ms per
         #    8x1080p batch; the y variant measured slower and stays on
         #    the s32 XLA path).
-        # MULUT_CORNER16 / MULUT_FOLD16 / MULUT_K128 override (e.g. ""
-        # reverts to the rank-expanded HBM tables / stock stage-1 forms).
+        #  * int8_stage1 ("y"): non-symmetric INNER-stage modes keep
+        #    their (L**4, 16) quad table int8 instead of the s32
+        #    widening — the 1.3 MB table still gets VMEM-staged and the
+        #    4x smaller gathered buffers shave the downstream layout
+        #    copies (~2.6 ms per 8x1080p batch).
+        # MULUT_CORNER16 / MULUT_FOLD16 / MULUT_K128 / MULUT_S1_INT8
+        # override (e.g. "" reverts to the rank-expanded HBM tables /
+        # stock stage-1 forms).
         import os
 
         c16 = os.environ.get("MULUT_CORNER16", "y") if self.kernel else ""
         f16 = os.environ.get("MULUT_FOLD16", "sd") if self.kernel else ""
         k1 = os.environ.get("MULUT_K128", "sd") if self.kernel else ""
+        s18 = os.environ.get("MULUT_S1_INT8", "y") if self.kernel else ""
         tabs = prepare_expanded_luts_cached(
             luts, interval=interval, shared_quad=self.kernel,
             corner16_modes=c16, fold16_modes=f16, k128_stage1=k1,
+            int8_stage1=s18,
         )
         if self.mesh is not None:
             from ..parallel.mesh import replicate_tree

@@ -55,7 +55,7 @@ def test_bench_autotune_runs_all_candidates(capsys, monkeypatch):
         "MULUT_BENCH_N": "1",
         "MULUT_BENCH_INTERPRET": "1",
     })
-    for label in ("stock", "y16+f16sd", "y16+f16sd+k1sd"):
+    for label in ("stock", "y16+f16sd+k1sd", "y16+f16sd+k1sd+s1y8"):
         assert f"[{label}]" in err
     # bit-parity gate: no candidate may have been skipped for mismatch
     assert "MISMATCH" not in err

@@ -190,12 +190,18 @@ def test_k128_stage1_formats(tables):
     for kw in (
         dict(k128_stage1="sdy"),
         dict(k128_stage1="sd", corner16_modes="y", fold16_modes="sd"),
+        # the shipped TPU default: + int8 stage-1 y quad table
+        dict(k128_stage1="sd", corner16_modes="y", fold16_modes="sd",
+             int8_stage1="y"),
     ):
         k1 = prepare_expanded_luts(
             luts, interval=INTERVAL, shared_quad=True, **kw
         )
         for m in kw["k128_stage1"]:
             assert k1[f"s1_{m}"].shape == (L ** 4, 128)
+            assert k1[f"s1_{m}"].dtype == np.int8
+        for m in kw.get("int8_stage1", ""):
+            assert k1[f"s1_{m}"].shape == (L ** 4, 16)
             assert k1[f"s1_{m}"].dtype == np.int8
         packed = tk.lut_cascade_packed(
             k1, img, stages=STAGES, modes=MODES, scale=SCALE,
