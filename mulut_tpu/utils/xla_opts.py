@@ -17,6 +17,37 @@ from __future__ import annotations
 import os
 
 
+def enable_compilation_cache(path: str | None = None) -> bool:
+    """Turn on JAX's persistent compilation cache (best-effort).
+
+    The bench autotune compiles three full-cascade candidates; a cold
+    process spends ~8-10 minutes in XLA compilation alone (measured on
+    the axon tunnel), which can exceed an external runner's timeout.
+    With the on-disk cache warm, a repeat bench run skips straight to
+    execution.  Lives in /tmp by default — it dies with container
+    restarts, exactly like the expanded-table cache, and that is fine:
+    the first run after a restart rebuilds both.
+
+    MULUT_COMPILE_CACHE=0 disables; a non-empty MULUT_COMPILE_CACHE
+    overrides the directory.  Returns True when the cache was enabled.
+    """
+    import jax
+
+    env = os.environ.get("MULUT_COMPILE_CACHE", "")
+    if env == "0":
+        return False
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          env or path or "/tmp/mulut_jax_cache")
+        # Default heuristics skip small/fast entries; the cascade
+        # executables are exactly the entries we want, so cache all.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:  # noqa: BLE001 — unknown config names on old jax
+        return False
+
+
 def tpu_compiler_options(extra: dict | None = None, *,
                          scoped_vmem_kib: int | None = None) -> dict | None:
     """compiler_options dict for jax.jit on TPU, or None.

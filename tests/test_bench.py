@@ -25,6 +25,9 @@ def _load_bench():
 
 
 def _run(capsys, monkeypatch, env):
+    # keep CI hermetic: don't let bench.main() turn on the persistent
+    # compile cache for the whole pytest process
+    monkeypatch.setenv("MULUT_COMPILE_CACHE", "0")
     for k, v in env.items():
         monkeypatch.setenv(k, v)
     _load_bench().main()

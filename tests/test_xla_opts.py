@@ -10,7 +10,10 @@ has no TPU.
 import jax
 import pytest
 
-from mulut_tpu.utils.xla_opts import tpu_compiler_options
+from mulut_tpu.utils.xla_opts import (
+    enable_compilation_cache,
+    tpu_compiler_options,
+)
 
 
 def test_none_on_cpu_backend(monkeypatch):
@@ -36,3 +39,21 @@ def test_env_fallback_and_extra(monkeypatch):
     opts = tpu_compiler_options({"other": "1"})
     assert opts == {"other": "1",
                     "xla_tpu_scoped_vmem_limit_kib": "98304"}
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    # kill switch
+    monkeypatch.setenv("MULUT_COMPILE_CACHE", "0")
+    assert enable_compilation_cache(str(tmp_path)) is False
+    # explicit path wins when the env var is unset
+    monkeypatch.delenv("MULUT_COMPILE_CACHE")
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_compilation_cache(str(tmp_path)) is True
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+        # env var overrides the argument
+        monkeypatch.setenv("MULUT_COMPILE_CACHE", str(tmp_path / "env"))
+        assert enable_compilation_cache(str(tmp_path)) is True
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "env")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
