@@ -25,57 +25,81 @@ def _kaiming_normal(key, shape, fan_in):
 
 
 def init_mulut_unit(key, *, nf: int = 64, upscale: int = 1, out_c: int = 1,
-                    dense: bool = True) -> dict:
+                    dense: bool = True, depth: int = 4) -> dict:
     """Parameters of one MuLUT unit (ref: common/network.py:62-105).
 
-    Layout: w1 (4, nf) head over the 4 taps; w2..w5 dense(-concat) 1x1 layers;
-    w6 (5nf or nf, out_c*upscale**2) output head followed by tanh.
+    Layout: w1 (4, nf) head over the 4 taps; w2..w{depth+1} dense(-concat)
+    or plain 1x1 layers; w6 ((depth+1)*nf or nf, out_c*upscale**2) output
+    head followed by tanh.
+
+    The reference architecture is dense with depth 4.  `dense=False,
+    depth=2, nf=128` is the MXU-shaped variant ("mxu" in `init_srnets`):
+    plain 128-wide hidden matmuls fill all MXU lanes and cut the dependent
+    chain from 6 to 3 matmuls per pass — see PERF.md's unit accounting
+    (the dense-concat shapes cap at 31% theoretical / 16.5% measured MFU;
+    the 128-wide plain shapes cap at ~71%).  LUT transfer is architecture-
+    blind (same 4-tap receptive field -> identical LUT shapes).
     """
-    keys = jax.random.split(key, 6)
+    assert not (dense and depth != 4), "the dense-concat unit is depth-4"
+    keys = jax.random.split(key, depth + 2)
     out_dim = out_c * upscale * upscale
     params = {
         "w1": _kaiming_normal(keys[0], (4, nf), fan_in=4),
         "b1": jnp.zeros((nf,), jnp.float32),
     }
-    if dense:
-        widths = [nf, 2 * nf, 3 * nf, 4 * nf]
-        for i, w_in in enumerate(widths, start=2):
-            params[f"w{i}"] = _kaiming_normal(keys[i - 1], (w_in, nf), fan_in=w_in)
-            params[f"b{i}"] = jnp.zeros((nf,), jnp.float32)
-        params["w6"] = _kaiming_normal(keys[5], (5 * nf, out_dim), fan_in=5 * nf)
-    else:
-        for i in range(2, 6):
-            params[f"w{i}"] = _kaiming_normal(keys[i - 1], (nf, nf), fan_in=nf)
-            params[f"b{i}"] = jnp.zeros((nf,), jnp.float32)
-        params["w6"] = _kaiming_normal(keys[5], (nf, out_dim), fan_in=nf)
+    for i in range(2, 2 + depth):
+        w_in = (i - 1) * nf if dense else nf
+        params[f"w{i}"] = _kaiming_normal(keys[i - 1], (w_in, nf), fan_in=w_in)
+        params[f"b{i}"] = jnp.zeros((nf,), jnp.float32)
+    head_in = (depth + 1) * nf if dense else nf
+    params["w6"] = _kaiming_normal(keys[depth + 1], (head_in, out_dim),
+                                   fan_in=head_in)
     params["b6"] = jnp.zeros((out_dim,), jnp.float32)
     return params
 
 
-def apply_mulut_unit(params: dict, x4, *, dense: bool = True,
+def unit_layout(params: dict) -> tuple:
+    """Infer (dense, hidden_layer_indices) from a unit's parameter shapes.
+
+    Hidden layers are the present w2..w5 keys; the unit is dense-concat iff
+    the output head consumes the full concat width ((depth+1)*nf).  Plain
+    units (DMNet ref: common/network.py:276-317; the mxu variant) feed the
+    head nf columns.  Unambiguous for every unit this package creates
+    (a depth-0 unit, where the two coincide, is never built).
+    """
+    nf = params["w1"].shape[1]
+    hidden = [i for i in range(2, 6) if f"w{i}" in params]
+    dense = params["w6"].shape[0] == (len(hidden) + 1) * nf and hidden
+    return bool(dense), hidden
+
+
+def apply_mulut_unit(params: dict, x4, *, dense: bool | None = None,
                      precision=jax.lax.Precision.HIGHEST):
     """(N, 4) tap pixels -> (N, out_c*upscale**2) in (-1, 1).
 
     Matches MuLUTUnit.forward (ref: common/network.py:96-105): relu head,
-    four dense-concat (or plain) 1x1 layers, linear output, tanh.  The
+    dense-concat (or plain) 1x1 layers, linear output, tanh.  The
     pixel-shuffle happens later during spatial assembly.
+
+    dense: None (default) infers the architecture from the parameter
+    shapes (`unit_layout`); pass explicitly only to assert a layout.
 
     precision: TPU MXU matmul precision.  HIGHEST (3-pass bf16 = fp32
     accuracy) by default: LUT caching rounds the outputs to int8 levels of
     width 2/254, so default bf16 matmuls would perturb entries by several
     levels.
     """
+    inferred, hidden = unit_layout(params)
+    if dense is None:
+        dense = inferred
+
     def dot(a, b):
         return jnp.dot(a, b, precision=precision)
 
     x = jax.nn.relu(dot(x4, params["w1"]) + params["b1"])
-    if dense:
-        for i in range(2, 6):
-            feat = jax.nn.relu(dot(x, params[f"w{i}"]) + params[f"b{i}"])
-            x = jnp.concatenate([x, feat], axis=-1)
-    else:
-        for i in range(2, 6):
-            x = jax.nn.relu(dot(x, params[f"w{i}"]) + params[f"b{i}"])
+    for i in hidden:
+        feat = jax.nn.relu(dot(x, params[f"w{i}"]) + params[f"b{i}"])
+        x = jnp.concatenate([x, feat], axis=-1) if dense else feat
     return jnp.tanh(dot(x, params["w6"]) + params["b6"])
 
 

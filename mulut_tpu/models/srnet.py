@@ -19,22 +19,37 @@ import jax.numpy as jnp
 
 from ..ops.simplex import round_ste
 from ..ops.taps import lane_rotation_perm, mode_pad, mode_taps, rotated_taps
-from .blocks import apply_mulut_unit, init_mulut_unit
+from .blocks import apply_mulut_unit, init_mulut_unit, unit_layout
 
 
 def init_srnets(key, *, nf: int = 64, scale: int = 4, modes: str = "sdy",
-                stages: int = 2) -> dict:
+                stages: int = 2, arch: str = "dense",
+                depth: int | None = None) -> dict:
     """Stage x mode registry of MuLUT units (ref: sr/model.py:15-31).
 
     The last stage upscales by `scale`; earlier stages are x1.
+
+    arch: "dense" is the reference architecture (4 dense-concat layers,
+    nf=64 — ref: common/network.py:62-105).  "mxu" is the TPU-native
+    net-mode deployment variant: a plain MLP whose hidden widths should
+    fill the MXU's 128 lanes (use nf=128) with `depth` (default 2) hidden
+    matmuls — ~2.3x more useful MACs per MXU cycle and half the dependent
+    matmuls per pass vs the dense shapes (PERF.md unit accounting), at
+    similar parameter count.  Both transfer to IDENTICAL LUT artifacts
+    (the unit contract — 4 taps in, upscale**2 lanes out — is unchanged).
     """
+    if arch not in ("dense", "mxu"):
+        raise ValueError(f"unknown arch {arch!r}: expected 'dense' or 'mxu'")
+    dense = arch == "dense"
+    if depth is None:
+        depth = 4 if dense else 2
     params = {}
     for s in range(stages):
         upscale = scale if s + 1 == stages else 1
         for mode in modes:
             key, sub = jax.random.split(key)
             params[f"s{s + 1}_{mode}"] = init_mulut_unit(
-                sub, nf=nf, upscale=upscale, dense=True
+                sub, nf=nf, upscale=upscale, dense=dense, depth=depth
             )
     return params
 
@@ -107,6 +122,11 @@ def srnet_rotation_lanes(unit_params: dict, x, *, mode: str, upscale: int,
     """
     taps = _rotation_taps_batch(x, mode)            # (4, B, C, h, w, 4)
     shape = taps.shape
+    if unit_impl == "pallas" and not unit_layout(unit_params)[0]:
+        # the single-unit fused kernel is written for the dense-concat
+        # layout; plain/mxu units deploy through the stage-ensemble
+        # kernel (srnets_predict_fast) and train on the XLA path
+        unit_impl = "xla"
     if unit_impl == "pallas":
         from ..ops.unit_kernel import fused_unit_apply
 

@@ -106,19 +106,43 @@ def stack_stage_params(params: dict, *, stage: int, modes: str, upscale: int,
                        out_pad: int = 16) -> dict:
     """Stack one stage's per-mode unit params for the ensemble kernel.
 
-    Returns bf16 arrays: w1 (M, 4, nf), ..., w6 (M, 5*nf, 4*out_pad) with
-    rotation r's columns pre-permuted by `lane_rotation_perm(upscale, r)`
-    and zero-padded from upscale**2 to out_pad lanes.
+    Dense units return bf16 arrays w1 (M, 4, nf), ..., w6 (M, 5*nf,
+    4*out_pad); plain (mxu-arch) units return w1/b1, hw (D, M, nf, nf) /
+    hb (D, M, nf) stacked hidden layers, and w6 (M, nf, 4*out_pad).  In
+    both, rotation r's w6 columns are pre-permuted by
+    `lane_rotation_perm(upscale, r)` and zero-padded from upscale**2 to
+    out_pad lanes.
     """
     import numpy as np
 
+    from ..models.blocks import unit_layout
     from .taps import lane_rotation_perm
 
+    dense, hidden = unit_layout(params[f"s{stage}_{modes[0]}"])
     st = {}
-    for name in ("w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4", "w5", "b5"):
-        st[name] = jnp.stack(
-            [jnp.asarray(params[f"s{stage}_{m}"][name]) for m in modes]
-        ).astype(jnp.bfloat16)
+    if dense:
+        names = ["w1", "b1"]
+        for i in hidden:
+            names += [f"w{i}", f"b{i}"]
+        for name in names:
+            st[name] = jnp.stack(
+                [jnp.asarray(params[f"s{stage}_{m}"][name]) for m in modes]
+            ).astype(jnp.bfloat16)
+    else:
+        for name in ("w1", "b1"):
+            st[name] = jnp.stack(
+                [jnp.asarray(params[f"s{stage}_{m}"][name]) for m in modes]
+            ).astype(jnp.bfloat16)
+        st["hw"] = jnp.stack([
+            jnp.stack([jnp.asarray(params[f"s{stage}_{m}"][f"w{i}"])
+                       for m in modes])
+            for i in hidden
+        ]).astype(jnp.bfloat16)                      # (D, M, nf, nf)
+        st["hb"] = jnp.stack([
+            jnp.stack([jnp.asarray(params[f"s{stage}_{m}"][f"b{i}"])
+                       for m in modes])
+            for i in hidden
+        ]).astype(jnp.bfloat16)                      # (D, M, nf)
     v = upscale * upscale
     w6s, b6s = [], []
     for m in modes:
@@ -154,6 +178,11 @@ def pair_stage_params(stacked: dict, *, out_pad: int = 16) -> dict:
     128-lane N at nf=64), raising the theoretical MFU cap from 31% to
     37.5% while halving the dependent-chain count.  See PERF.md.
     """
+    if "hw" in stacked:
+        raise ValueError(
+            "pair_stage_params expects dense-unit stacks; plain/mxu units "
+            "already run full-lane matmuls (see _plain_ensemble_kernel)"
+        )
     nf = stacked["w1"].shape[2]
     M = stacked["w1"].shape[0]
     out = {"w1": stacked["w1"], "b1": stacked["b1"]}
@@ -255,6 +284,42 @@ def _ensemble_kernel(nf: int, n_modes: int, out_pad: int,
     out_ref[:] = acc
 
 
+def _plain_ensemble_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                           t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+    """Pass-major ensemble kernel for plain (mxu-arch) units.
+
+    A plain unit's activations never widen, so the whole pass lives in
+    values (no concat scratch): VPU head, `depth` full-lane (nf x nf)
+    matmuls, per-rotation head column block.  At nf=128 every hidden
+    matmul fills the MXU's 128 lanes — the shape-level fix for the
+    dense-concat kernel's 16.5% MFU ceiling (PERF.md unit accounting).
+    """
+    acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[:, col : col + 4]
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            x = jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16)
+            for d in range(depth):
+                xk = jnp.dot(x, hw[d, mi],
+                             preferred_element_type=jnp.float32)
+                xk = jnp.maximum(
+                    xk + hb[d, mi][None, :].astype(jnp.float32), 0)
+                x = xk.astype(jnp.bfloat16)
+            o = jnp.dot(x, w6[mi, :, out_pad * r : out_pad * (r + 1)],
+                        preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, out_pad * r : out_pad * (r + 1)][None, :]
+                .astype(jnp.float32)
+            )
+            acc = acc + jnp.round(o * 127.0)
+    out_ref[:] = acc
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_modes", "out_pad", "interpret"))
 def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
@@ -265,24 +330,37 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     output lanes already un-rotated.  `interpret=True` runs the kernel in
     the Pallas interpreter (CPU testing).
 
-    Accepts either `stack_stage_params` output (pass-major kernel) or
-    `pair_stage_params` output (rotation-pair block-diagonal kernel) —
-    detected from the layer-2 weight width; outputs are bit-identical.
+    Accepts `stack_stage_params` output for dense units (pass-major
+    kernel) or plain/mxu units (full-lane plain kernel, detected from the
+    stacked "hw" key), or `pair_stage_params` output (rotation-pair
+    block-diagonal kernel, bit-identical to pass-major).
     """
     nf = stacked["w1"].shape[2]
-    paired = stacked["w2"].shape[-1] == 2 * nf
     n = taps.shape[0]
     n_pad = -(-n // ENSEMBLE_TILE) * ENSEMBLE_TILE
     if n_pad != n:
         taps = jnp.pad(taps, [(0, n_pad - n), (0, 0)])
-    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
     width = 16 * n_modes
-    if paired:
-        kern = functools.partial(_pair_ensemble_kernel, nf, n_modes, out_pad)
-        scratch = [pltpu.VMEM((ENSEMBLE_TILE, 10 * nf), jnp.bfloat16)] * 2
+    if "hw" in stacked:
+        depth = stacked["hw"].shape[0]
+        kern = functools.partial(_plain_ensemble_kernel, nf, n_modes,
+                                 out_pad, depth)
+        scratch = []
+        weights = (stacked["w1"], stacked["b1"], stacked["hw"],
+                   stacked["hb"], stacked["w6"], stacked["b6"])
     else:
-        kern = functools.partial(_ensemble_kernel, nf, n_modes, out_pad)
-        scratch = [pltpu.VMEM((ENSEMBLE_TILE, 5 * nf), jnp.bfloat16)]
+        paired = stacked["w2"].shape[-1] == 2 * nf
+        if paired:
+            kern = functools.partial(_pair_ensemble_kernel, nf, n_modes,
+                                     out_pad)
+            scratch = [pltpu.VMEM((ENSEMBLE_TILE, 10 * nf), jnp.bfloat16)] * 2
+        else:
+            kern = functools.partial(_ensemble_kernel, nf, n_modes, out_pad)
+            scratch = [pltpu.VMEM((ENSEMBLE_TILE, 5 * nf), jnp.bfloat16)]
+        weights = (stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
+                   stacked["w3"], stacked["b3"], stacked["w4"], stacked["b4"],
+                   stacked["w5"], stacked["b5"], stacked["w6"], stacked["b6"])
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
@@ -295,9 +373,5 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(
-        taps, stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
-        stacked["w3"], stacked["b3"], stacked["w4"], stacked["b4"],
-        stacked["w5"], stacked["b5"], stacked["w6"], stacked["b6"],
-    )
+    )(taps, *weights)
     return out[:n]

@@ -162,7 +162,9 @@ def train(opt) -> dict:
     mesh = make_mesh(n_dev) if n_dev > 1 else None
 
     params = init_srnets(jax.random.PRNGKey(0), nf=opt.nf, scale=opt.scale,
-                         modes=opt.modes, stages=opt.stages)
+                         modes=opt.modes, stages=opt.stages,
+                         arch=getattr(opt, "arch", "dense"),
+                         depth=getattr(opt, "unitDepth", 0) or None)
     optimizer = make_optimizer(opt.lr0, opt.lr1, opt.totalIter, opt.weightDecay)
     if opt.startIter > 0:
         ckpt = os.path.join(opt.expDir, f"Model_{opt.startIter:06d}.npz")

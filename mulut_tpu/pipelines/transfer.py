@@ -38,13 +38,15 @@ def lut_grid(interval: int = 4) -> np.ndarray:
 
 
 def cache_lut(unit_params: dict, *, interval: int = 4,
-              dense: bool = True) -> np.ndarray:
+              dense: bool | None = None) -> np.ndarray:
     """One unit -> int8 LUT (L**4, out_dim): round(clamp(out, -1, 1) * 127)
     (ref: sr/2_transfer_to_lut.py:108-109).
 
-    `dense` must match how the unit was initialized (SR/DN units are
-    dense-concat; the DMNet demosaic unit is plain, ref:
-    common/network.py:87-92 vs :276-317)."""
+    `dense` defaults to None = inferred from the parameter shapes
+    (`blocks.unit_layout`), so reference dense-concat units, the plain
+    DMNet demosaic unit (ref: common/network.py:87-92 vs :276-317) and the
+    mxu-arch variant all cache through the same call — LUT caching is
+    architecture-blind (4 taps in, out_dim lanes out)."""
     grid = jnp.asarray(lut_grid(interval))
 
     @functools.partial(jax.jit, static_argnames="d")

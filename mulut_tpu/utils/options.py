@@ -52,6 +52,16 @@ class BaseOptions:
         parser.add_argument("--sigma", "-s", type=int, default=25, help="noise level")
         parser.add_argument("--qf", "-q", type=int, default=20, help="deblocking quality factor")
         parser.add_argument("--nf", type=int, default=64, help="number of filters of convolutional layers")
+        parser.add_argument("--arch", type=str, default="dense",
+                            choices=("dense", "mxu"),
+                            help="unit architecture: 'dense' = reference "
+                            "dense-concat (common/network.py:62-105); "
+                            "'mxu' = TPU-native plain-MLP variant (use "
+                            "--nf 128) — same LUT artifacts, higher "
+                            "net-mode MFU")
+        parser.add_argument("--unitDepth", type=int, default=0,
+                            help="hidden matmuls per unit (0 = arch "
+                            "default: dense 4, mxu 2)")
         parser.add_argument("--stages", type=int, default=2, help="stages of MuLUT")
         parser.add_argument("--modes", type=str, default="sdy", help="sampling modes to use in every stage")
         parser.add_argument("--interval", type=int, default=4, help="N bit uniform sampling")

@@ -1,0 +1,143 @@
+"""The MXU-shaped (plain-MLP) unit variant — `init_srnets(arch="mxu")`.
+
+Beyond-parity feature: PERF.md's unit accounting shows the reference
+dense-concat shapes (K<=320, N=64, 6 dependent matmuls/pass) cap the
+net-mode Pallas kernel at 31% theoretical / 16.5% measured MFU; the mxu
+variant (plain nf-wide MLP, depth 2, nf=128 in deployment) raises the
+theoretical cap to ~71% at similar parameter count.  The LUT-transfer
+contract is unchanged — 4 taps in, upscale**2 lanes out — so steps 2-4
+(cache, finetune, retrieval) are architecture-blind.
+
+These tests run the Pallas kernel in interpret mode on CPU; chip numbers
+live in PERF.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mulut_tpu.models.blocks import (
+    apply_mulut_unit,
+    init_mulut_unit,
+    unit_layout,
+)
+from mulut_tpu.models.srnet import (
+    init_srnets,
+    srnets_predict,
+    srnets_predict_fast,
+    stack_srnets_for_fast,
+)
+from mulut_tpu.pipelines.transfer import transfer_to_luts
+
+
+def test_unit_layout_inference():
+    k = jax.random.PRNGKey(0)
+    dense = init_mulut_unit(k, nf=8, upscale=4)
+    assert unit_layout(dense) == (True, [2, 3, 4, 5])
+    plain4 = init_mulut_unit(k, nf=8, upscale=2, out_c=3, dense=False)
+    assert unit_layout(plain4) == (False, [2, 3, 4, 5])
+    mxu = init_mulut_unit(k, nf=16, upscale=4, dense=False, depth=2)
+    assert unit_layout(mxu) == (False, [2, 3])
+    assert mxu["w2"].shape == (16, 16)
+    assert mxu["w6"].shape == (16, 16)
+    with pytest.raises(AssertionError):
+        init_mulut_unit(k, nf=8, dense=True, depth=2)
+
+
+def test_apply_infers_arch():
+    """apply_mulut_unit with no `dense` kwarg == the explicit calls."""
+    k = jax.random.PRNGKey(1)
+    x = jnp.asarray(np.random.default_rng(0).random((32, 4)), jnp.float32)
+    dense = init_mulut_unit(k, nf=8, upscale=1)
+    np.testing.assert_array_equal(
+        apply_mulut_unit(dense, x), apply_mulut_unit(dense, x, dense=True))
+    plain = init_mulut_unit(k, nf=8, upscale=1, dense=False)
+    np.testing.assert_array_equal(
+        apply_mulut_unit(plain, x), apply_mulut_unit(plain, x, dense=False))
+
+
+def test_mxu_registry_shapes_and_forward():
+    params = init_srnets(jax.random.PRNGKey(2), nf=16, scale=4, modes="sdy",
+                         stages=2, arch="mxu")
+    assert set(params) == {f"s{s}_{m}" for s in (1, 2) for m in "sdy"}
+    assert unit_layout(params["s1_s"]) == (False, [2, 3])
+    assert params["s2_y"]["w6"].shape == (16, 16)
+    x = jnp.asarray(np.random.default_rng(1).random((2, 1, 6, 7)),
+                    jnp.float32)
+    out = srnets_predict(params, x, modes="sdy", stages=2, scale=4,
+                         phase="valid")
+    assert out.shape == (2, 1, 24, 28)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mxu_fast_kernel_matches_f32():
+    """Plain-MLP stage-ensemble Pallas kernel vs the f32 forward."""
+    rng = np.random.default_rng(3)
+    params = init_srnets(jax.random.PRNGKey(3), nf=16, scale=4, modes="sdy",
+                         stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    assert stacked[0]["hw"].shape == (2, 3, 16, 16)
+    x = jnp.asarray(rng.random((1, 1, 6, 7)).astype(np.float32))
+    want = np.asarray(srnets_predict(params, x, modes="sdy", stages=2,
+                                     scale=4, phase="valid"))
+    got = np.asarray(srnets_predict_fast(stacked, x, modes="sdy", stages=2,
+                                         scale=4, interpret=True))
+    assert got.shape == want.shape
+    # bf16 params + activations: small quantization differences only
+    assert float(np.abs(got - want).mean()) < 2.0
+    assert float(np.median(np.abs(got - want))) <= 1.0
+
+
+def test_mxu_paired_stacking_rejected():
+    params = init_srnets(jax.random.PRNGKey(4), nf=16, scale=4, modes="s",
+                         stages=1, arch="mxu")
+    with pytest.raises(ValueError, match="dense-unit stacks"):
+        stack_srnets_for_fast(params, modes="s", stages=1, scale=4,
+                              paired=True)
+
+
+def test_mxu_transfers_to_standard_luts():
+    """LUT caching is architecture-blind: mxu units emit the exact LUT
+    shapes the retrieval engine consumes (ref: sr/2_transfer_to_lut.py)."""
+    params = init_srnets(jax.random.PRNGKey(5), nf=16, scale=4, modes="sdy",
+                         stages=2, arch="mxu")
+    luts = transfer_to_luts(params, modes="sdy", stages=2, interval=4)
+    assert luts["s1_s"].shape == (17 ** 4, 1)
+    assert luts["s2_y"].shape == (17 ** 4, 16)
+    assert luts["s1_d"].dtype == np.int8
+    # entries really are round(clip(unit(grid))*127)
+    from mulut_tpu.pipelines.transfer import lut_grid
+
+    g = jnp.asarray(lut_grid(4)[:257])
+    want = np.round(np.clip(np.asarray(
+        apply_mulut_unit(params["s2_y"], g)), -1, 1) * 127).astype(np.int8)
+    np.testing.assert_array_equal(luts["s2_y"][:257], want)
+
+
+def test_mxu_training_step_descends():
+    """One Adam step on the mxu cascade reduces the loss (gradients flow
+    through the plain-MLP units and the STE rounds)."""
+    import optax
+
+    rng = np.random.default_rng(6)
+    params = init_srnets(jax.random.PRNGKey(6), nf=16, scale=2, modes="s",
+                         stages=2, arch="mxu")
+    lr = jnp.asarray(rng.random((4, 1, 8, 8)), jnp.float32)
+    hr = jnp.asarray(rng.random((4, 1, 16, 16)), jnp.float32)
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+
+    def loss_fn(p):
+        pred = srnets_predict(p, lr, modes="s", stages=2, scale=2,
+                              phase="train")
+        return jnp.mean(jnp.abs(pred - hr))
+
+    l0, grads = jax.value_and_grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+    for _ in range(5):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state)
+        params = optax.apply_updates(params, updates)
+    assert float(loss_fn(params)) < float(l0)
