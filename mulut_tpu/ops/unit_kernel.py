@@ -320,6 +320,55 @@ def _plain_ensemble_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     out_ref[:] = acc
 
 
+def _plain_iv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                     t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+    """Layer-major variant of `_plain_ensemble_kernel`.
+
+    Runs layer d of ALL 4*n_modes passes back-to-back so consecutive
+    MXU matmuls are independent (no drain between dependent chains).
+    The live set is 4*n_modes (T, nf) bf16 activations — at nf=128,
+    n_modes=3 that is 3 MB of VMEM values, unlike the dense arch where
+    the same schedule needs 12 concat scratches of 5*nf and measured
+    15% slower in-context (PERF.md).  Opt-in via PLAIN_INTERLEAVE.
+    """
+    xs = []
+    for mi in range(n_modes):
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[:, col : col + 4]
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            xs.append(
+                jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16))
+    for d in range(depth):
+        for i in range(4 * n_modes):
+            mi = i // 4
+            xk = jnp.dot(xs[i], hw[d, mi],
+                         preferred_element_type=jnp.float32)
+            xk = jnp.maximum(xk + hb[d, mi][None, :].astype(jnp.float32), 0)
+            xs[i] = xk.astype(jnp.bfloat16)
+    acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
+    for i in range(4 * n_modes):
+        mi, r = i // 4, i % 4
+        o = jnp.dot(xs[i], w6[mi, :, out_pad * r : out_pad * (r + 1)],
+                    preferred_element_type=jnp.float32)
+        o = jnp.tanh(
+            o + b6[mi, out_pad * r : out_pad * (r + 1)][None, :]
+            .astype(jnp.float32)
+        )
+        acc = acc + jnp.round(o * 127.0)
+    out_ref[:] = acc
+
+
+#: schedule for plain/mxu stacks: False = pass-major (dependent chains,
+#: per-pass dispatch), True = layer-major interleave (independent
+#: matmuls back-to-back).  Module-level like ENSEMBLE_TILE; flipped by
+#: experiments/env after chip A/Bs.
+PLAIN_INTERLEAVE = False
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_modes", "out_pad", "interpret"))
 def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
@@ -343,8 +392,8 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     width = 16 * n_modes
     if "hw" in stacked:
         depth = stacked["hw"].shape[0]
-        kern = functools.partial(_plain_ensemble_kernel, nf, n_modes,
-                                 out_pad, depth)
+        kfn = _plain_iv_kernel if PLAIN_INTERLEAVE else _plain_ensemble_kernel
+        kern = functools.partial(kfn, nf, n_modes, out_pad, depth)
         scratch = []
         weights = (stacked["w1"], stacked["b1"], stacked["hw"],
                    stacked["hb"], stacked["w6"], stacked["b6"])

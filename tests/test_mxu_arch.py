@@ -89,6 +89,31 @@ def test_mxu_fast_kernel_matches_f32():
     assert float(np.median(np.abs(got - want))) <= 1.0
 
 
+def test_mxu_interleaved_kernel_bit_matches_pass_major():
+    """Layer-major plain kernel == pass-major plain kernel, bitwise.
+
+    Same matmuls, same accumulation order of integer-valued f32 rounds;
+    only the schedule differs."""
+    import mulut_tpu.ops.unit_kernel as uk
+
+    rng = np.random.default_rng(7)
+    params = init_srnets(jax.random.PRNGKey(7), nf=16, scale=4, modes="sdy",
+                         stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy", stages=2,
+                                          scale=4, interpret=True))
+    uk.PLAIN_INTERLEAVE = True
+    uk.stage_ensemble_apply.clear_cache()  # schedule flag is not a jit key
+    try:
+        got = np.asarray(srnets_predict_fast(
+            stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+    finally:
+        uk.PLAIN_INTERLEAVE = False
+        uk.stage_ensemble_apply.clear_cache()
+    assert np.array_equal(got, want)
+
+
 def test_mxu_paired_stacking_rejected():
     params = init_srnets(jax.random.PRNGKey(4), nf=16, scale=4, modes="s",
                          stages=1, arch="mxu")
