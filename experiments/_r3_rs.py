@@ -1,0 +1,91 @@
+"""R3 scratch: plain-kernel schedule x tile ladder on chip (mxu arch).
+
+The d2 plain chain is latency-bound (PERF.md mxu ladder: d3 carries 1.46x
+the FLOPs for ~equal time), so two levers that change the MXU dispatch
+shape without changing any per-row value:
+
+  * rotation-row-stacking ("rs", `_plain_rs_kernel`): the 4 rotations of
+    a mode share hidden weights, so their hidden matmuls fuse into one
+    (4T, nf) x (nf, nf) — 4x the M per dispatch, 3 dependent chains per
+    stage instead of 12.  Bit-identical outputs (CI-pinned).
+  * ENSEMBLE_TILE sweep: bigger T amortizes MXU drains per matmul.  The
+    dense arch measured flat 512..4096, but its matmuls were lane-starved,
+    not latency-starved — re-measure on the plain shapes.
+
+Usage: _r3_rs.py [--cpu]  (CPU = interpret parity smoke only)
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import mulut_tpu.ops.unit_kernel as uk
+from mulut_tpu.models.srnet import (
+    init_srnets,
+    srnets_predict_fast,
+    stack_srnets_for_fast,
+)
+
+CPU = "--cpu" in sys.argv
+if CPU:
+    jax.config.update("jax_platforms", "cpu")
+
+from mulut_tpu.utils.profiling import device_time  # noqa: E402
+
+scale, stages, modes = 4, 2, "sdy"
+H, W, B = (6, 7, 1) if CPU else (270, 480, 8)
+PEAK = 197e12
+out_px = B * 3 * H * W * scale * scale
+
+
+def macs_per_inpix(nf, depth):
+    total = 0
+    for s in range(stages):
+        v = scale * scale if s + 1 == stages else 1
+        total += 12 * (4 * nf + depth * nf * nf + nf * v)
+    return total
+
+
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.random((B, 3, H, W), dtype=np.float32))
+
+ARCHS = [("mxu-nf128-d2", 128, 2), ("mxu-nf128-d3", 128, 3),
+         ("mxu-nf256-d2", 256, 2)]
+GRID = [("pass", 1024), ("rs", 1024), ("rs", 2048), ("rs", 4096),
+        ("pass", 4096)]
+
+baseline = {}
+for label, nf, depth in ARCHS:
+    params = init_srnets(jax.random.PRNGKey(0), nf=nf, scale=scale,
+                         modes=modes, stages=stages, arch="mxu", depth=depth)
+    stacked = stack_srnets_for_fast(params, modes=modes, stages=stages,
+                                    scale=scale)
+    for sched, tile in GRID:
+        uk.PLAIN_SCHEDULE = sched
+        uk.ENSEMBLE_TILE = tile
+        uk.stage_ensemble_apply.clear_cache()
+        run = jax.jit(lambda xx, st=stacked: srnets_predict_fast(
+            st, xx, modes=modes, stages=stages, scale=scale, interpret=CPU))
+        t0 = time.perf_counter()
+        out = run(x)
+        ref = np.asarray(out)
+        print(f"[{label} {sched} T={tile}] compile+first "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        key = label
+        if key not in baseline:
+            baseline[key] = ref
+        else:
+            match = np.array_equal(ref, baseline[key])
+            print(f"[{label} {sched} T={tile}] parity vs pass/1024: "
+                  f"{'MATCH' if match else 'MISMATCH'}", flush=True)
+        if CPU:
+            continue
+        dt = device_time(lambda: run(x), n=3)
+        flops = 2 * macs_per_inpix(nf, depth) * B * 3 * H * W
+        print(f"[{label} {sched} T={tile}] {dt * 1e3:.1f} ms/batch  "
+              f"{out_px / dt / 1e6:.1f} MPix/s out  "
+              f"MFU {flops / dt / PEAK * 100:.1f}%", flush=True)
+uk.PLAIN_SCHEDULE = "pass"
+uk.ENSEMBLE_TILE = 1024

@@ -362,11 +362,67 @@ def _plain_iv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     out_ref[:] = acc
 
 
+def _plain_rs_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                     t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+    """Rotation-row-stacked variant of `_plain_ensemble_kernel`.
+
+    The 4 rotations of a mode share the SAME hidden weights (`hw[d, mi]`
+    is indexed by mode only — rotation enters through the tap offsets and
+    the pre-permuted w6 column blocks), so their hidden matmuls fuse into
+    ONE (4T, nf) x (nf, nf) matmul per layer: 4x the M per MXU dispatch
+    and 3 dependent chains per stage instead of 12.  Per-row math is
+    unchanged (matmul rows are independent), so outputs are bit-identical
+    to the pass-major kernel.  This targets the d2 chain's measured
+    latency-boundedness (PERF.md mxu ladder: extra matmuls nearly free).
+    """
+    tile = t_ref.shape[0]
+    acc = jnp.zeros((tile, out_pad), jnp.float32)
+    for mi in range(n_modes):
+        xs = []
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[:, col : col + 4]
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            xs.append(
+                jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16))
+        X = jnp.concatenate(xs, axis=0)                  # (4*tile, nf)
+        for d in range(depth):
+            Xk = jnp.dot(X, hw[d, mi], preferred_element_type=jnp.float32)
+            Xk = jnp.maximum(Xk + hb[d, mi][None, :].astype(jnp.float32), 0)
+            X = Xk.astype(jnp.bfloat16)
+        for r in range(4):
+            o = jnp.dot(X[r * tile : (r + 1) * tile],
+                        w6[mi, :, out_pad * r : out_pad * (r + 1)],
+                        preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, out_pad * r : out_pad * (r + 1)][None, :]
+                .astype(jnp.float32)
+            )
+            acc = acc + jnp.round(o * 127.0)
+    out_ref[:] = acc
+
+
 #: schedule for plain/mxu stacks: False = pass-major (dependent chains,
 #: per-pass dispatch), True = layer-major interleave (independent
 #: matmuls back-to-back).  Module-level like ENSEMBLE_TILE; flipped by
 #: experiments/env after chip A/Bs.
 PLAIN_INTERLEAVE = False
+
+#: "pass" | "iv" | "rs" — pass-major, layer-major interleave, or
+#: rotation-row-stacked (see `_plain_rs_kernel`).  PLAIN_INTERLEAVE=True
+#: is honored as "iv" for backwards compatibility.
+PLAIN_SCHEDULE = "pass"
+
+
+def _plain_kernel_fn():
+    if PLAIN_INTERLEAVE or PLAIN_SCHEDULE == "iv":
+        return _plain_iv_kernel
+    if PLAIN_SCHEDULE == "rs":
+        return _plain_rs_kernel
+    return _plain_ensemble_kernel
 
 
 @functools.partial(jax.jit,
@@ -392,8 +448,8 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     width = 16 * n_modes
     if "hw" in stacked:
         depth = stacked["hw"].shape[0]
-        kfn = _plain_iv_kernel if PLAIN_INTERLEAVE else _plain_ensemble_kernel
-        kern = functools.partial(kfn, nf, n_modes, out_pad, depth)
+        kern = functools.partial(_plain_kernel_fn(), nf, n_modes, out_pad,
+                                 depth)
         scratch = []
         weights = (stacked["w1"], stacked["b1"], stacked["hw"],
                    stacked["hb"], stacked["w6"], stacked["b6"])

@@ -114,6 +114,33 @@ def test_mxu_interleaved_kernel_bit_matches_pass_major():
     assert np.array_equal(got, want)
 
 
+def test_mxu_rotation_stacked_kernel_bit_matches_pass_major():
+    """Rotation-row-stacked plain kernel == pass-major, bitwise.
+
+    The 4 rotations of a mode share hidden weights, so stacking their rows
+    into one (4T, nf) matmul per layer changes the MXU dispatch shape but
+    not any per-row value, and the (mode, rotation) accumulation order is
+    preserved."""
+    import mulut_tpu.ops.unit_kernel as uk
+
+    rng = np.random.default_rng(8)
+    params = init_srnets(jax.random.PRNGKey(8), nf=16, scale=4, modes="sdy",
+                         stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy", stages=2,
+                                          scale=4, interpret=True))
+    uk.PLAIN_SCHEDULE = "rs"
+    uk.stage_ensemble_apply.clear_cache()  # schedule flag is not a jit key
+    try:
+        got = np.asarray(srnets_predict_fast(
+            stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+    finally:
+        uk.PLAIN_SCHEDULE = "pass"
+        uk.stage_ensemble_apply.clear_cache()
+    assert np.array_equal(got, want)
+
+
 def test_mxu_paired_stacking_rejected():
     params = init_srnets(jax.random.PRNGKey(4), nf=16, scale=4, modes="s",
                          stages=1, arch="mxu")
