@@ -54,7 +54,7 @@ x = jnp.asarray(rng.random((B, 3, H, W), dtype=np.float32))
 ARCHS = [("mxu-nf128-d2", 128, 2), ("mxu-nf128-d3", 128, 3),
          ("mxu-nf256-d2", 256, 2)]
 GRID = [("pass", 1024), ("rs", 1024), ("rs", 2048), ("rs", 4096),
-        ("pass", 4096)]
+        ("rsiv", 1024), ("rsiv", 2048), ("rsiv", 4096), ("pass", 4096)]
 
 baseline = {}
 for label, nf, depth in ARCHS:

@@ -411,18 +411,69 @@ def _plain_rs_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
 #: experiments/env after chip A/Bs.
 PLAIN_INTERLEAVE = False
 
-#: "pass" | "iv" | "rs" — pass-major, layer-major interleave, or
-#: rotation-row-stacked (see `_plain_rs_kernel`).  PLAIN_INTERLEAVE=True
-#: is honored as "iv" for backwards compatibility.
+def _plain_rsiv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                       t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+    """Rotation-stacked + mode-layer-major variant of the plain kernel.
+
+    Like `_plain_rs_kernel` but the n_modes (4T, nf) chains advance
+    layer-major, so consecutive hidden matmuls are independent (no MXU
+    drain between them) at a live set of n_modes stacked activations.
+    Accumulation still runs (mode-major, rotation ascending) so outputs
+    stay bit-identical to the pass-major kernel.
+    """
+    tile = t_ref.shape[0]
+    Xs = []
+    for mi in range(n_modes):
+        xs = []
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[:, col : col + 4]
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            xs.append(
+                jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16))
+        Xs.append(jnp.concatenate(xs, axis=0))          # (4*tile, nf)
+    for d in range(depth):
+        for mi in range(n_modes):
+            Xk = jnp.dot(Xs[mi], hw[d, mi],
+                         preferred_element_type=jnp.float32)
+            Xk = jnp.maximum(
+                Xk + hb[d, mi][None, :].astype(jnp.float32), 0)
+            Xs[mi] = Xk.astype(jnp.bfloat16)
+    acc = jnp.zeros((tile, out_pad), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            o = jnp.dot(Xs[mi][r * tile : (r + 1) * tile],
+                        w6[mi, :, out_pad * r : out_pad * (r + 1)],
+                        preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, out_pad * r : out_pad * (r + 1)][None, :]
+                .astype(jnp.float32)
+            )
+            acc = acc + jnp.round(o * 127.0)
+    out_ref[:] = acc
+
+
+#: "pass" | "iv" | "rs" | "rsiv" — pass-major, layer-major interleave,
+#: rotation-row-stacked, or rotation-stacked + mode-layer-major (see the
+#: respective kernels).  PLAIN_INTERLEAVE=True is honored as "iv" for
+#: backwards compatibility.
 PLAIN_SCHEDULE = "pass"
+
+_PLAIN_KERNELS = {
+    "pass": _plain_ensemble_kernel,
+    "iv": _plain_iv_kernel,
+    "rs": _plain_rs_kernel,
+    "rsiv": _plain_rsiv_kernel,
+}
 
 
 def _plain_kernel_fn():
-    if PLAIN_INTERLEAVE or PLAIN_SCHEDULE == "iv":
+    if PLAIN_INTERLEAVE:
         return _plain_iv_kernel
-    if PLAIN_SCHEDULE == "rs":
-        return _plain_rs_kernel
-    return _plain_ensemble_kernel
+    return _PLAIN_KERNELS[PLAIN_SCHEDULE]
 
 
 @functools.partial(jax.jit,

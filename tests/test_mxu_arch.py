@@ -130,15 +130,16 @@ def test_mxu_rotation_stacked_kernel_bit_matches_pass_major():
     x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
     want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy", stages=2,
                                           scale=4, interpret=True))
-    uk.PLAIN_SCHEDULE = "rs"
-    uk.stage_ensemble_apply.clear_cache()  # schedule flag is not a jit key
-    try:
-        got = np.asarray(srnets_predict_fast(
-            stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
-    finally:
-        uk.PLAIN_SCHEDULE = "pass"
-        uk.stage_ensemble_apply.clear_cache()
-    assert np.array_equal(got, want)
+    for sched in ("rs", "rsiv"):
+        uk.PLAIN_SCHEDULE = sched
+        uk.stage_ensemble_apply.clear_cache()  # flag is not a jit key
+        try:
+            got = np.asarray(srnets_predict_fast(
+                stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+        finally:
+            uk.PLAIN_SCHEDULE = "pass"
+            uk.stage_ensemble_apply.clear_cache()
+        assert np.array_equal(got, want), sched
 
 
 def test_mxu_paired_stacking_rejected():
