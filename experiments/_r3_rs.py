@@ -33,6 +33,9 @@ if CPU:
     jax.config.update("jax_platforms", "cpu")
 
 from mulut_tpu.utils.profiling import device_time  # noqa: E402
+from mulut_tpu.utils.xla_opts import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 scale, stages, modes = 4, 2, "sdy"
 H, W, B = (6, 7, 1) if CPU else (270, 480, 8)
@@ -53,8 +56,14 @@ x = jnp.asarray(rng.random((B, 3, H, W), dtype=np.float32))
 
 ARCHS = [("mxu-nf128-d2", 128, 2), ("mxu-nf128-d3", 128, 3),
          ("mxu-nf256-d2", 256, 2)]
-GRID = [("pass", 1024), ("rs", 1024), ("rs", 2048), ("rs", 4096),
-        ("rsiv", 1024), ("rsiv", 2048), ("rsiv", 4096), ("pass", 4096)]
+# (schedule, tile, scoped_vmem_kib or None) — big tiles need a raised
+# scoped-VMEM budget (rs at T=4096 allocates an 18.4 MB f32 intermediate
+# vs the 16 MB default; measured OOM, and the failure killed run 1 —
+# hence the per-config try/except below).
+GRID = [("pass", 1024, None), ("rs", 1024, None), ("rs", 2048, 49152),
+        ("rsiv", 1024, None), ("rsiv", 2048, 49152)]
+
+from mulut_tpu.utils.xla_opts import tpu_compiler_options  # noqa: E402
 
 baseline = {}
 for label, nf, depth in ARCHS:
@@ -62,30 +71,38 @@ for label, nf, depth in ARCHS:
                          modes=modes, stages=stages, arch="mxu", depth=depth)
     stacked = stack_srnets_for_fast(params, modes=modes, stages=stages,
                                     scale=scale)
-    for sched, tile in GRID:
+    for sched, tile, vmem in GRID:
         uk.PLAIN_SCHEDULE = sched
         uk.ENSEMBLE_TILE = tile
         uk.stage_ensemble_apply.clear_cache()
-        run = jax.jit(lambda xx, st=stacked: srnets_predict_fast(
-            st, xx, modes=modes, stages=stages, scale=scale, interpret=CPU))
-        t0 = time.perf_counter()
-        out = run(x)
-        ref = np.asarray(out)
-        print(f"[{label} {sched} T={tile}] compile+first "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
-        key = label
-        if key not in baseline:
-            baseline[key] = ref
-        else:
-            match = np.array_equal(ref, baseline[key])
-            print(f"[{label} {sched} T={tile}] parity vs pass/1024: "
-                  f"{'MATCH' if match else 'MISMATCH'}", flush=True)
-        if CPU:
-            continue
-        dt = device_time(lambda: run(x), n=3)
-        flops = 2 * macs_per_inpix(nf, depth) * B * 3 * H * W
-        print(f"[{label} {sched} T={tile}] {dt * 1e3:.1f} ms/batch  "
-              f"{out_px / dt / 1e6:.1f} MPix/s out  "
-              f"MFU {flops / dt / PEAK * 100:.1f}%", flush=True)
+        opts = tpu_compiler_options(scoped_vmem_kib=vmem) if vmem else None
+        run = jax.jit(
+            lambda xx, st=stacked: srnets_predict_fast(
+                st, xx, modes=modes, stages=stages, scale=scale,
+                interpret=CPU),
+            compiler_options=opts)
+        tag = f"[{label} {sched} T={tile}" + (f" v={vmem}]" if vmem else "]")
+        try:
+            t0 = time.perf_counter()
+            out = run(x)
+            ref = np.asarray(out)
+            print(f"{tag} compile+first {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+            if label not in baseline:
+                baseline[label] = ref
+            else:
+                match = np.array_equal(ref, baseline[label])
+                print(f"{tag} parity vs pass/1024: "
+                      f"{'MATCH' if match else 'MISMATCH'}", flush=True)
+            if CPU:
+                continue
+            dt = device_time(lambda: run(x), n=3)
+            flops = 2 * macs_per_inpix(nf, depth) * B * 3 * H * W
+            print(f"{tag} {dt * 1e3:.1f} ms/batch  "
+                  f"{out_px / dt / 1e6:.1f} MPix/s out  "
+                  f"MFU {flops / dt / PEAK * 100:.1f}%", flush=True)
+        except Exception as e:  # keep the ladder going past one bad config
+            print(f"{tag} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
 uk.PLAIN_SCHEDULE = "pass"
 uk.ENSEMBLE_TILE = 1024
