@@ -456,6 +456,43 @@ def _plain_rsiv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     out_ref[:] = acc
 
 
+def _plain_q_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                    t_ref, w1, b1, hwq, hcq, hbq, w6q, c6, b6, out_ref):
+    """W8A8 variant of `_plain_ensemble_kernel` (see ops/quant.py).
+
+    Activations are int8 codes in [0, 127] (per-layer static scales,
+    folded into the dequant constants at quantization time), hidden and
+    head matmuls run int8 x int8 -> s32 on the MXU (~2x the bf16 rate on
+    v5e), and the epilogue (tanh, per-rotation round(127*out)
+    accumulation) is f32 exactly like the bf16 kernel.
+    """
+    acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[:, col : col + 4]
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            x = jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.float32)
+            xq = jnp.clip(jnp.round(x), 0, 127).astype(jnp.int8)
+            for d in range(depth):
+                a = jnp.dot(xq, hwq[d, mi],
+                            preferred_element_type=jnp.int32)
+                xf = (a.astype(jnp.float32) * hcq[d, mi][None, :]
+                      + hbq[d, mi][None, :])
+                xq = jnp.clip(jnp.round(jnp.maximum(xf, 0)), 0, 127
+                              ).astype(jnp.int8)
+            o = jnp.dot(xq, w6q[mi, :, out_pad * r : out_pad * (r + 1)],
+                        preferred_element_type=jnp.int32)
+            o = (o.astype(jnp.float32)
+                 * c6[mi, out_pad * r : out_pad * (r + 1)][None, :]
+                 + b6[mi, out_pad * r : out_pad * (r + 1)][None, :])
+            acc = acc + jnp.round(jnp.tanh(o) * 127.0)
+    out_ref[:] = acc
+
+
 #: "pass" | "iv" | "rs" | "rsiv" — pass-major, layer-major interleave,
 #: rotation-row-stacked, or rotation-stacked + mode-layer-major (see the
 #: respective kernels).  PLAIN_INTERLEAVE=True is honored as "iv" for
@@ -497,7 +534,15 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     if n_pad != n:
         taps = jnp.pad(taps, [(0, n_pad - n), (0, 0)])
     width = 16 * n_modes
-    if "hw" in stacked:
+    if "hwq" in stacked:
+        depth = stacked["hwq"].shape[0]
+        kern = functools.partial(_plain_q_kernel, nf, n_modes, out_pad,
+                                 depth)
+        scratch = []
+        weights = (stacked["w1"], stacked["b1"], stacked["hwq"],
+                   stacked["hcq"], stacked["hbq"], stacked["w6q"],
+                   stacked["c6"], stacked["b6"])
+    elif "hw" in stacked:
         depth = stacked["hw"].shape[0]
         kern = functools.partial(_plain_kernel_fn(), nf, n_modes, out_pad,
                                  depth)

@@ -441,16 +441,28 @@ class NetEvaluator:
     BAND = 16
 
     def __init__(self, params: dict, *, stages: int, modes: str, scale: int,
-                 fast: bool = False):
+                 fast: bool = False, quant: bool = False):
         """fast=True runs the tap-MLPs in bfloat16 with single-pass MXU
-        matmuls — ~0.01 dB below the f32 path, several times faster."""
+        matmuls — ~0.01 dB below the f32 path, several times faster.
+
+        quant=True (implies fast) additionally quantizes plain (mxu-arch)
+        units to W8A8 — int8 MXU matmuls at ~2x the bf16 rate on v5e,
+        with grid-calibrated static activation scales (ops/quant.py).
+        Plain-arch only; raises ValueError on dense-concat params."""
         from ..models.srnet import srnets_predict, srnets_predict_tiled
 
         self.stages = stages
         self.modes = modes
         self.scale = scale
+        fast = fast or quant
         self.fast = fast
         use_kernel = fast and jax.default_backend() == "tpu"
+        if quant and not use_kernel:
+            raise ValueError(
+                "quant=True needs the TPU Pallas kernel path; for CPU "
+                "testing drive srnets_predict_fast(quantized_stacks, ..., "
+                "interpret=True) directly")
+        params_f32 = params
         if fast:
             params = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16), params
@@ -471,10 +483,16 @@ class NetEvaluator:
             # unit_kernel.pair_stage_params)
             import os
 
-            stacked = stack_srnets_for_fast(
-                params, modes=modes, stages=stages, scale=scale,
-                paired=os.environ.get("MULUT_PAIRED_KERNEL", "0") == "1",
-            )
+            if quant:
+                from ..ops.quant import quantize_srnets_for_fast
+
+                stacked = quantize_srnets_for_fast(
+                    params_f32, modes=modes, stages=stages, scale=scale)
+            else:
+                stacked = stack_srnets_for_fast(
+                    params, modes=modes, stages=stages, scale=scale,
+                    paired=os.environ.get("MULUT_PAIRED_KERNEL", "0") == "1",
+                )
 
             @jax.jit
             def _run(x):
