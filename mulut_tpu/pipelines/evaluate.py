@@ -526,7 +526,8 @@ class NetEvaluator:
 
     @classmethod
     def from_checkpoint(cls, path: str, *, stages: int = 2, modes: str = "sdy",
-                        scale: int = 4, fast: bool = False):
+                        scale: int = 4, fast: bool = False,
+                        quant: bool = False):
         if path.endswith(".npz"):
             from ..models.torch_import import load_params_npz
 
@@ -535,7 +536,8 @@ class NetEvaluator:
             from ..models.torch_import import srnets_params_from_torch
 
             params = srnets_params_from_torch(path, modes=modes, stages=stages)
-        return cls(params, stages=stages, modes=modes, scale=scale, fast=fast)
+        return cls(params, stages=stages, modes=modes, scale=scale, fast=fast,
+                   quant=quant)
 
     def upscale(self, img_lr: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 LR -> (H*scale, W*scale, 3) uint8 SR."""

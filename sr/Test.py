@@ -117,6 +117,9 @@ if __name__ == "__main__":
     p.add_argument("--net", type=str, default=None, metavar="CKPT",
                    help="deploy the trained network (Pallas bf16 kernel on "
                         "TPU) from this checkpoint instead of LUT retrieval")
+    p.add_argument("--quant", action="store_true",
+                   help="with --net on a plain (mxu-arch) checkpoint: W8A8 "
+                        "int8 MXU deployment (ops/quant.py)")
     p.add_argument("--results_json", type=str, default=None)
     args = p.parse_args()
 
@@ -125,7 +128,7 @@ if __name__ == "__main__":
 
         ev = NetEvaluator.from_checkpoint(
             args.net, stages=args.stages, modes=args.modes, scale=args.scale,
-            fast=True,
+            fast=True, quant=args.quant,
         )
     else:
         if not args.lut_dir:
