@@ -493,6 +493,79 @@ def _plain_q_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     out_ref[:] = acc
 
 
+def _plain_qw6_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                      t_ref, w1, b1, hwq, hcq, hbq, w6q, c6, b6, out_ref):
+    """`_plain_q_kernel` with the lane-sliceless (M, 4, nf, P) head.
+
+    A/B bisect variant: identical f32 requant datapath, but the head
+    weights/constants are indexed [mi, r] statically instead of slicing
+    16 int8 lanes out of a 128-lane tile per pass (a known Mosaic
+    relayout cost on int8 — PERF.md LUT-path negative results).
+    """
+    acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[:, col : col + 4]
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            x = jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.float32)
+            xq = jnp.clip(jnp.round(x), 0, 127).astype(jnp.int8)
+            for d in range(depth):
+                a = jnp.dot(xq, hwq[d, mi],
+                            preferred_element_type=jnp.int32)
+                xf = (a.astype(jnp.float32) * hcq[d, mi][None, :]
+                      + hbq[d, mi][None, :])
+                xq = jnp.clip(jnp.round(jnp.maximum(xf, 0)), 0, 127
+                              ).astype(jnp.int8)
+            o = jnp.dot(xq, w6q[mi, r],
+                        preferred_element_type=jnp.int32)
+            o = (o.astype(jnp.float32) * c6[mi, r][None, :]
+                 + b6[mi, r][None, :])
+            acc = acc + jnp.round(jnp.tanh(o) * 127.0)
+    out_ref[:] = acc
+
+
+def _plain_q2_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                     t_ref, w1, b1, hwq, hmq, hsq, hhq, hbi, w6q, c6, b6,
+                     out_ref):
+    """Integer-requant W8A8 plain kernel (ops/quant.py requant="int").
+
+    Between int8 MXU matmuls the requant stays in the integer domain —
+    x_next = clip(((acc * M + half) >> S) + B, 0, 127) with per-column
+    int32 fixed-point constants — the exact datapath of the 312-Tops/s
+    int8 chain probe (experiments/_r3_i8.py), with no f32 round-trip.
+    ReLU is absorbed by the clip's lower bound.  The tanh head epilogue
+    stays f32 like every other variant.
+    """
+    acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[:, col : col + 4]
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            x = jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.float32)
+            xq = jnp.clip(jnp.round(x), 0, 127).astype(jnp.int8)
+            for d in range(depth):
+                a = jnp.dot(xq, hwq[d, mi],
+                            preferred_element_type=jnp.int32)
+                ti = a * hmq[d, mi][None, :] + hhq[d, mi][None, :]
+                ti = jnp.right_shift(ti, hsq[d, mi][None, :])
+                xq = jnp.clip(ti + hbi[d, mi][None, :], 0, 127
+                              ).astype(jnp.int8)
+            o = jnp.dot(xq, w6q[mi, r],
+                        preferred_element_type=jnp.int32)
+            o = (o.astype(jnp.float32) * c6[mi, r][None, :]
+                 + b6[mi, r][None, :])
+            acc = acc + jnp.round(jnp.tanh(o) * 127.0)
+    out_ref[:] = acc
+
+
 #: "pass" | "iv" | "rs" | "rsiv" — pass-major, layer-major interleave,
 #: rotation-row-stacked, or rotation-stacked + mode-layer-major (see the
 #: respective kernels).  PLAIN_INTERLEAVE=True is honored as "iv" for
@@ -536,12 +609,26 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     width = 16 * n_modes
     if "hwq" in stacked:
         depth = stacked["hwq"].shape[0]
-        kern = functools.partial(_plain_q_kernel, nf, n_modes, out_pad,
-                                 depth)
         scratch = []
-        weights = (stacked["w1"], stacked["b1"], stacked["hwq"],
-                   stacked["hcq"], stacked["hbq"], stacked["w6q"],
-                   stacked["c6"], stacked["b6"])
+        if "hmq" in stacked:  # requant="int": integer fixed-point datapath
+            kern = functools.partial(_plain_q2_kernel, nf, n_modes, out_pad,
+                                     depth)
+            weights = (stacked["w1"], stacked["b1"], stacked["hwq"],
+                       stacked["hmq"], stacked["hsq"], stacked["hhq"],
+                       stacked["hbi"], stacked["w6q"], stacked["c6"],
+                       stacked["b6"])
+        elif stacked["w6q"].ndim == 4:  # requant="f32w6": sliceless head
+            kern = functools.partial(_plain_qw6_kernel, nf, n_modes, out_pad,
+                                     depth)
+            weights = (stacked["w1"], stacked["b1"], stacked["hwq"],
+                       stacked["hcq"], stacked["hbq"], stacked["w6q"],
+                       stacked["c6"], stacked["b6"])
+        else:  # requant="f32": original layout
+            kern = functools.partial(_plain_q_kernel, nf, n_modes, out_pad,
+                                     depth)
+            weights = (stacked["w1"], stacked["b1"], stacked["hwq"],
+                       stacked["hcq"], stacked["hbq"], stacked["w6q"],
+                       stacked["c6"], stacked["b6"])
     elif "hw" in stacked:
         depth = stacked["hw"].shape[0]
         kern = functools.partial(_plain_kernel_fn(), nf, n_modes, out_pad,
