@@ -86,15 +86,20 @@ for label, nf, depth in ARCHS:
             t0 = time.perf_counter()
             out = run(x)
             # Full-array D2H can stall for minutes when the tunnel is
-            # bandwidth-degraded; on TPU compare a device-side
-            # fingerprint (exact for bit-identical uint8 outputs)
-            # plus a small corner slice instead of 50 MB readbacks.
+            # bandwidth-degraded; on TPU compare a device-side per-row
+            # (sum, weighted-sum) CHECKSUM instead of 50 MB readbacks.
+            # This is checksum parity, not a bit-exact comparison: the
+            # %251 column-weight wrap means structured differences
+            # between columns 251 apart could collide (report wording
+            # in PERF.md says "checksum parity" accordingly).  The
+            # outputs are unclipped rounded floats; with rotation
+            # accumulators bounded well inside +/-2^11 per lane, the
+            # int32 row sums cannot overflow at W_out <= 1920.
             if CPU:
                 ref = np.asarray(out)
             else:
                 o32 = out.astype(jnp.int32)
                 col = jnp.arange(o32.shape[-1], dtype=jnp.int32) % 251
-                # per-row sums stay < 2^31 (255*250*W_out); exact int32
                 ref = (np.asarray(jnp.sum(o32, axis=-1)),
                        np.asarray(jnp.sum(o32 * col, axis=-1)))
             print(f"{tag} compile+first {time.perf_counter() - t0:.1f}s",

@@ -441,13 +441,17 @@ class NetEvaluator:
     BAND = 16
 
     def __init__(self, params: dict, *, stages: int, modes: str, scale: int,
-                 fast: bool = False, quant: bool = False):
+                 fast: bool = False, quant: bool | str = False):
         """fast=True runs the tap-MLPs in bfloat16 with single-pass MXU
         matmuls — ~0.01 dB below the f32 path, several times faster.
 
-        quant=True (implies fast) additionally quantizes plain (mxu-arch)
-        units to W8A8 — int8 MXU matmuls at ~2x the bf16 rate on v5e,
-        with grid-calibrated static activation scales (ops/quant.py).
+        quant (implies fast) additionally quantizes plain (mxu-arch)
+        units to W8A8 with grid-calibrated static activation scales
+        (ops/quant.py).  True selects the default integer fixed-point
+        requant datapath; a string ('f32', 'f32w6', 'int') pins the
+        inter-layer requant form explicitly (the measured A/B axis —
+        all are SLOWER than bf16 on v5e, see PERF.md "W8A8 int8
+        deployment"; the path ships as the measured record).
         Plain-arch only; raises ValueError on dense-concat params."""
         from ..models.srnet import srnets_predict, srnets_predict_tiled
 
@@ -486,8 +490,10 @@ class NetEvaluator:
             if quant:
                 from ..ops.quant import quantize_srnets_for_fast
 
+                requant = quant if isinstance(quant, str) else "int"
                 stacked = quantize_srnets_for_fast(
-                    params_f32, modes=modes, stages=stages, scale=scale)
+                    params_f32, modes=modes, stages=stages, scale=scale,
+                    requant=requant)
             else:
                 stacked = stack_srnets_for_fast(
                     params, modes=modes, stages=stages, scale=scale,
@@ -527,7 +533,7 @@ class NetEvaluator:
     @classmethod
     def from_checkpoint(cls, path: str, *, stages: int = 2, modes: str = "sdy",
                         scale: int = 4, fast: bool = False,
-                        quant: bool = False):
+                        quant: bool | str = False):
         if path.endswith(".npz"):
             from ..models.torch_import import load_params_npz
 

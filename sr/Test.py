@@ -117,9 +117,13 @@ if __name__ == "__main__":
     p.add_argument("--net", type=str, default=None, metavar="CKPT",
                    help="deploy the trained network (Pallas bf16 kernel on "
                         "TPU) from this checkpoint instead of LUT retrieval")
-    p.add_argument("--quant", action="store_true",
+    p.add_argument("--quant", nargs="?", const="int", default=None,
+                   choices=["f32", "f32w6", "int"],
                    help="with --net on a plain (mxu-arch) checkpoint: W8A8 "
-                        "int8 MXU deployment (ops/quant.py)")
+                        "int8 MXU deployment (ops/quant.py).  Optional value "
+                        "selects the inter-layer requant datapath (default "
+                        "'int' = integer fixed-point; 'f32'/'f32w6' are the "
+                        "measured A/B forms)")
     p.add_argument("--results_json", type=str, default=None)
     args = p.parse_args()
 
@@ -128,7 +132,7 @@ if __name__ == "__main__":
 
         ev = NetEvaluator.from_checkpoint(
             args.net, stages=args.stages, modes=args.modes, scale=args.scale,
-            fast=True, quant=args.quant,
+            fast=True, quant=args.quant or False,
         )
     else:
         if not args.lut_dir:
