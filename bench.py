@@ -9,8 +9,16 @@ On TPU the bench AUTOTUNES over the framework's bit-exact engine configs
 (stock rank tables; VMEM-stageable 16-corner stage-2 table forms; the
 128-lane stage-1 kernel layout — see prepare_expanded_luts
 corner16_modes / fold16_modes / k128_stage1 / int8_stage1) and reports
-the fastest — every candidate's unpacked output is verified
-byte-identical to the stock engine before it may win.  Setting
+the fastest — every candidate's unpacked output is verified against the
+stock engine before it may win (device-fingerprint checksums by
+default; MULUT_BENCH_PARITY=full for a full byte readback — byte-level
+parity of the default config is separately pinned by the CI golden
+tests).  The autotune is
+time-budgeted (MULUT_BENCH_BUDGET_S, default 420 s): the measured-best
+config runs first, later candidates are skipped once the costliest
+completed candidate would not fit in the remaining budget, and a valid
+best-so-far line is always emitted (cold-start safety under external
+~10-min runner timeouts).  Setting
 MULUT_CORNER16, MULUT_FOLD16, MULUT_K128, MULUT_S1_INT8 and/or
 MULUT_SCOPED_VMEM_KIB pins ONE explicit config (A/B mode, used by the
 experiment scripts); MULUT_BENCH_AUTOTUNE=0 forces the stock config.
@@ -127,10 +135,16 @@ def main():
     if not use_kernel:
         cands = [("xla", "", "", "", "", None)]
     elif autotune:
+        # Order matters for cold starts: the measured v5e winner (which
+        # is also LutEvaluator's default config, golden-image-pinned in
+        # CI) runs FIRST so that a time-budgeted run always emits a
+        # valid best-so-far line; "stock" second doubles as the parity
+        # oracle for every candidate that got measured before the
+        # budget ran out.
         cands = [
+            ("y16+f16sd+k1sd+s1y8", "y", "sd", "sd", "y", None),
             ("stock", "", "", "", "", None),
             ("y16+f16sd+k1sd", "y", "sd", "sd", "", None),
-            ("y16+f16sd+k1sd+s1y8", "y", "sd", "sd", "y", None),
         ]
     else:
         # Explicit A/B config from the environment (or autotune disabled):
@@ -143,6 +157,41 @@ def main():
         # a 200 MB output transfer through a remote-device tunnel
         np.asarray(out[:1, :1, 0, :4] if out.ndim == 4 else out[:1, 0, :4])
 
+    # Candidate parity check.  Default: a device-side fingerprint of the
+    # unpacked VALID image — per-row (sum, two coprime-weighted sums with
+    # moduli 251/241) in int32 (row sums bounded by 255*255*1920 < 2^31).
+    # A full byte readback of the ~50 MB packed output costs MINUTES when
+    # the remote-device tunnel is bandwidth-degraded (measured: one warm
+    # candidate took 472 s end-to-end, almost all of it the parity D2H),
+    # which is exactly the cold-start budget this bench must fit.  Two
+    # independent weight vectors make structured-collision escape need
+    # columns 251*241 apart (> any W here); byte-level parity of the
+    # DEFAULT config remains pinned by tests/test_golden_images.py, and
+    # MULUT_BENCH_PARITY=full restores the full readback.
+    parity_full = os.environ.get("MULUT_BENCH_PARITY", "fp") == "full"
+
+    def make_fingerprint():
+        import jax.numpy as jnp
+
+        wout = W * scale
+        w1 = jnp.asarray((np.arange(wout) % 251) + 1, jnp.int32)
+        w2 = jnp.asarray((np.arange(wout) % 241) + 1, jnp.int32)
+
+        @jax.jit
+        def fp(packed):
+            u = tk.unpack_u32_device(packed, (B, 3), H, W, scale)
+            o = u.astype(jnp.int32)
+            return jnp.stack([
+                jnp.sum(o, axis=-1),
+                jnp.sum(o * w1, axis=-1),
+                jnp.sum(o * w2, axis=-1),
+            ])
+
+        return lambda packed: np.asarray(fp(packed))
+
+    fingerprint = make_fingerprint() if (use_kernel and not parity_full) \
+        else None
+
     def wall(run, eluts, k):
         t0 = time.perf_counter()
         out = None
@@ -152,9 +201,27 @@ def main():
         return time.perf_counter() - t0
 
     n = int(os.environ.get("MULUT_BENCH_N", "4"))
-    best = None  # (dt, label)
+    # Wall budget for the WHOLE bench (external runners enforce ~10 min;
+    # a fully cold start spends minutes per candidate in table build +
+    # XLA compile).  Candidates after the first are skipped when the
+    # costliest completed candidate would not fit in the remaining
+    # budget — a valid best-so-far line is always emitted.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("MULUT_BENCH_BUDGET_S", "420"))
+    results = []  # (dt, label, unpacked_output_or_None)
     golden = None  # stock unpacked output, parity oracle for candidates
+    cand_cost = 0.0  # costliest completed candidate (compile+verify+time)
     for label, c16, f16, k1, s18, kib in cands:
+        elapsed = time.perf_counter() - t_start
+        if results and elapsed + 1.1 * cand_cost > budget_s:
+            print(
+                f"[budget] {elapsed:.0f}s elapsed, est. next candidate "
+                f"{cand_cost:.0f}s > budget {budget_s:.0f}s — emitting "
+                "best-so-far",
+                file=sys.stderr,
+            )
+            break
+        t_cand = time.perf_counter()
         try:
             eluts = prepare_expanded_luts_cached(
                 luts, interval=interval, shared_quad=use_kernel,
@@ -182,17 +249,23 @@ def main():
             # remote-compile request limits.
             eluts = jax.device_put(eluts)
             out0 = run(eluts, img)  # compile + warm
+            u = None
             if autotune:
-                # a candidate may only win if its VALID unpacked image is
-                # byte-identical to the stock engine's (packed junk
-                # columns beyond w*scale legitimately differ)
-                u = tk.unpack_u32(np.asarray(out0), (B, 3), H, W, scale)
-                if golden is None:
+                # a candidate may only win if its VALID unpacked image
+                # matches the stock engine's (packed junk columns beyond
+                # w*scale legitimately differ) — by device fingerprint
+                # (default; see above) or full byte readback
+                # (MULUT_BENCH_PARITY=full).  Parity is checked AFTER
+                # the loop (stock no longer runs first); candidates
+                # measured before a budget cutoff that skips stock fall
+                # back to the CI golden-image pin (the first-listed
+                # config IS LutEvaluator's default).
+                if fingerprint is not None:
+                    u = fingerprint(out0)
+                else:
+                    u = tk.unpack_u32(np.asarray(out0), (B, 3), H, W, scale)
+                if label == "stock":
                     golden = u
-                elif not np.array_equal(u, golden):
-                    print(f"[{label}] OUTPUT MISMATCH vs stock — skipped",
-                          file=sys.stderr)
-                    continue
             else:
                 sync(out0)
             # Marginal between the fastest n-group and the fastest
@@ -216,8 +289,8 @@ def main():
             else:
                 dt = wall(run, eluts, n) / n
             print(f"[{label}] {dt * 1e3:.1f} ms/batch", file=sys.stderr)
-            if best is None or dt < best[0]:
-                best = (dt, label)
+            results.append((dt, label, u))
+            cand_cost = max(cand_cost, time.perf_counter() - t_cand)
         except Exception as e:  # noqa: BLE001 — a failed candidate (e.g.
             # scoped-VMEM budget the compiler rejects) must not kill the
             # bench; the stock config always remains.
@@ -226,9 +299,24 @@ def main():
         finally:
             eluts = None  # free device tables before the next candidate
 
-    if best is None:
+    if golden is not None:
+        kept = []
+        for dt, label, u in results:
+            if u is not None and not np.array_equal(u, golden):
+                print(f"[{label}] OUTPUT MISMATCH vs stock — dropped",
+                      file=sys.stderr)
+                continue
+            kept.append((dt, label, u))
+        results = kept
+    elif autotune and results:
+        print(
+            "[parity] stock did not run within budget; winner parity "
+            "rests on the CI golden-image pin of the default config",
+            file=sys.stderr,
+        )
+    if not results:
         raise SystemExit("no bench candidate succeeded")
-    dt, label = best
+    dt, label, _ = min(results, key=lambda r: r[0])
 
     out_mpix = B * H * W * scale * scale / 1e6
     value = out_mpix / dt

@@ -283,8 +283,11 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     construction; the result is a pure function of the int8 tables, so it
     caches to one .npz keyed by a hash of (tables, interval, rank).
     Cache location: `cache_dir`, else $MULUT_CACHE_DIR, else
-    /tmp/mulut_tpu_cache.  Never writes next to the source LUTs (which
-    may live in a read-only reference tree).
+    `<default_cache_root()>/tables` (repo .cache/ in a source checkout —
+    durable across the container restarts that wipe /tmp; entries that
+    survive in the legacy /tmp location are adopted by hard link).
+    Never writes next to the source LUTs (which may live in a read-only
+    reference tree).
 
     Entries can reach multiple GB (rank tables are ~770 MB per wide
     stage-mode), so after each write the directory is pruned
@@ -294,9 +297,12 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     import hashlib
     import os
 
-    cache_dir = cache_dir or os.environ.get(
-        "MULUT_CACHE_DIR", "/tmp/mulut_tpu_cache"
-    )
+    if cache_dir is None:
+        cache_dir = os.environ.get("MULUT_CACHE_DIR")
+    if cache_dir is None:
+        from ..utils.xla_opts import default_cache_root
+
+        cache_dir = os.path.join(default_cache_root(), "tables")
     h = hashlib.sha256()
     # shared_quad extends the key only when set so pre-existing cache
     # entries for the default layout stay valid.
@@ -312,7 +318,25 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
         h.update(key.encode())
         h.update(str(arr.shape).encode())
         h.update(arr.tobytes())
-    path = os.path.join(cache_dir, f"expanded_{h.hexdigest()[:24]}.npz")
+    fname = f"expanded_{h.hexdigest()[:24]}.npz"
+    path = os.path.join(cache_dir, fname)
+    if not os.path.exists(path):
+        # Legacy location (rounds 1-3 cached to volatile /tmp): adopt a
+        # surviving entry into the durable dir via hard link/copy rather
+        # than paying the minutes-long rebuild.
+        legacy = os.path.join("/tmp/mulut_tpu_cache", fname)
+        if os.path.exists(legacy):
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                try:
+                    os.link(legacy, path)
+                except OSError:
+                    import shutil
+
+                    shutil.copy(legacy, path + f".tmp{os.getpid()}")
+                    os.replace(path + f".tmp{os.getpid()}", path)
+            except OSError:
+                path = legacy  # adoptions are best-effort; read in place
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}

@@ -43,11 +43,22 @@ def cascade_row_sharded(
 ):
     """Run the LUT cascade with the image rows sharded across the mesh.
 
-    `img` is (..., H, W) with H divisible by the mesh size for an even
-    split (XLA handles ragged splits too, at some cost).  Returns the
-    upscaled image with rows sharded the same way.
+    `img` is (..., H, W).  When H is not divisible by the mesh size the
+    rows are edge-padded up to a device multiple and the cascade runs
+    with `valid_hw` clamping (the bucketed-evaluation mechanism,
+    `ops.ensemble.clamp_pad_region`, which re-syncs the pad region per
+    stage) — bit-identical to the unsharded cascade at the true size;
+    the pad rows are cropped off the output.  Returns the upscaled image
+    with rows sharded the same way.
     """
-    img = shard_image_rows(mesh, jnp.asarray(img), axis)
+    img = jnp.asarray(img)
+    H, W = img.shape[-2], img.shape[-1]
+    n = mesh.shape[axis]
+    pad = -H % n
+    if pad:
+        cfg = [(0, 0)] * (img.ndim - 2) + [(0, pad), (0, 0)]
+        img = jnp.pad(img, cfg, mode="edge")
+    img = shard_image_rows(mesh, img, axis)
     out_sharding = row_sharding(mesh, img.ndim, axis)
 
     # Tables ride as jit ARGUMENTS (replicated device buffers), not
@@ -58,7 +69,11 @@ def cascade_row_sharded(
         out = lut_cascade_int(
             tabs, x, stages=stages, modes=modes, scale=scale,
             interval=interval, expanded=expanded,
+            valid_hw=(H, W) if pad else None,
         )
         return jax.lax.with_sharding_constraint(out, out_sharding)
 
-    return run(luts, img)
+    out = run(luts, img)
+    if pad:
+        out = out[..., : H * scale, :]
+    return out

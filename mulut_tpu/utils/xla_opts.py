@@ -17,6 +17,41 @@ from __future__ import annotations
 import os
 
 
+def default_cache_root() -> str:
+    """Durable root for this framework's on-disk caches.
+
+    /tmp was measured to be wiped by container restarts three separate
+    times in one round (NOTES_ROUND3.md) — a cold expanded-table +
+    XLA-compile rebuild costs ~8-10 min and can blow an external bench
+    timeout.  Preference order:
+      1. $MULUT_CACHE_ROOT;
+      2. `<source checkout>/.cache` when the package runs from a repo
+         (detected by pyproject.toml two levels up) and it is writable;
+      3. ~/.cache/mulut_tpu;
+      4. /tmp/mulut_tpu_cache_root (last resort).
+    """
+    env = os.environ.get("MULUT_CACHE_ROOT")
+    if env:
+        return env
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
+    candidates = []
+    if os.path.exists(os.path.join(repo, "pyproject.toml")):
+        candidates.append(os.path.join(repo, ".cache"))
+    home = os.path.expanduser("~")
+    if home and home != "~":
+        candidates.append(os.path.join(home, ".cache", "mulut_tpu"))
+    candidates.append("/tmp/mulut_tpu_cache_root")
+    for cand in candidates:
+        try:
+            os.makedirs(cand, exist_ok=True)
+            if os.access(cand, os.W_OK):
+                return cand
+        except OSError:
+            continue
+    return candidates[-1]
+
+
 def enable_compilation_cache(path: str | None = None) -> bool:
     """Turn on JAX's persistent compilation cache (best-effort).
 
@@ -24,9 +59,9 @@ def enable_compilation_cache(path: str | None = None) -> bool:
     process spends ~8-10 minutes in XLA compilation alone (measured on
     the axon tunnel), which can exceed an external runner's timeout.
     With the on-disk cache warm, a repeat bench run skips straight to
-    execution.  Lives in /tmp by default — it dies with container
-    restarts, exactly like the expanded-table cache, and that is fine:
-    the first run after a restart rebuilds both.
+    execution.  Lives under `default_cache_root()` (repo .cache/ in a
+    source checkout) so container restarts that wipe /tmp do not cause
+    a cold-start bench timeout.
 
     MULUT_COMPILE_CACHE=0 disables; a non-empty MULUT_COMPILE_CACHE
     overrides the directory.  Returns True when the cache was enabled.
@@ -37,8 +72,9 @@ def enable_compilation_cache(path: str | None = None) -> bool:
     if env == "0":
         return False
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          env or path or "/tmp/mulut_jax_cache")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            env or path or os.path.join(default_cache_root(), "jax"))
         # Default heuristics skip small/fast entries; the cascade
         # executables are exactly the entries we want, so cache all.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

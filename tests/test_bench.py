@@ -62,3 +62,19 @@ def test_bench_autotune_runs_all_candidates(capsys, monkeypatch):
         assert f"[{label}]" in err
     # bit-parity gate: no candidate may have been skipped for mismatch
     assert "MISMATCH" not in err
+
+
+@pytest.mark.slow
+def test_bench_budget_emits_best_so_far(capsys, monkeypatch):
+    # A zero budget lets exactly the FIRST candidate run (the measured
+    # winner / LutEvaluator default config) and must still emit a valid
+    # JSON line — the cold-start contract under external runner timeouts.
+    rec, err = _run(capsys, monkeypatch, {
+        "MULUT_BENCH_SHAPE": "24x32x1",
+        "MULUT_BENCH_N": "1",
+        "MULUT_BENCH_INTERPRET": "1",
+        "MULUT_BENCH_BUDGET_S": "0",
+    })
+    assert "[budget]" in err
+    assert "[stock]" not in err  # later candidates were skipped
+    assert "config=y16+f16sd+k1sd+s1y8" in err
