@@ -74,7 +74,7 @@ def main():
     from mulut_tpu.ops import tail_kernel as tk
     from mulut_tpu.ops.ensemble import (
         lut_cascade_int,
-        prepare_expanded_luts_cached,
+        prepare_expanded_luts_auto,
     )
     from mulut_tpu.utils.xla_opts import (
         enable_compilation_cache,
@@ -223,7 +223,11 @@ def main():
             break
         t_cand = time.perf_counter()
         try:
-            eluts = prepare_expanded_luts_cached(
+            # On TPU the tables are built ON DEVICE from the ~4 MB source
+            # LUTs (prepare_expanded_luts_auto) — the 200+ MB pre-built
+            # upload was the dominant cold-start cost through a degraded
+            # tunnel (~5 min measured).
+            eluts = prepare_expanded_luts_auto(
                 luts, interval=interval, shared_quad=use_kernel,
                 corner16_modes=c16 if use_kernel else "",
                 fold16_modes=f16 if use_kernel else "",

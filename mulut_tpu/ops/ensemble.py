@@ -354,6 +354,39 @@ def prepare_expanded_luts_cached(luts: dict, *, interval: int = 4,
     return out
 
 
+def prepare_expanded_luts_auto(luts: dict, *, interval: int = 4,
+                               rank: bool = True,
+                               shared_quad: bool = False,
+                               corner16_modes: str = "",
+                               fold16_modes: str = "",
+                               k128_stage1: str = "",
+                               int8_stage1: str = "") -> dict:
+    """Pick the fastest table-construction route for the current backend.
+
+    On an accelerator backend the tables are built ON DEVICE from the
+    small source LUTs (`prepare_expanded_luts(device=True)`): a ~4 MB
+    upload + on-chip gathers instead of a 200+ MB host->device transfer
+    (measured ~5 min through a degraded remote-device tunnel) or a
+    minutes-long host build.  On CPU backends the host build with its
+    disk cache is used (CI determinism + no duplicate work across
+    processes).  MULUT_DEVICE_TABLES=0 forces the host path.
+    """
+    import os
+
+    import jax
+
+    if (os.environ.get("MULUT_DEVICE_TABLES", "1") != "0"
+            and jax.default_backend() != "cpu"):
+        return prepare_expanded_luts(
+            luts, interval=interval, rank=rank, shared_quad=shared_quad,
+            corner16_modes=corner16_modes, fold16_modes=fold16_modes,
+            k128_stage1=k128_stage1, int8_stage1=int8_stage1, device=True)
+    return prepare_expanded_luts_cached(
+        luts, interval=interval, rank=rank, shared_quad=shared_quad,
+        corner16_modes=corner16_modes, fold16_modes=fold16_modes,
+        k128_stage1=k128_stage1, int8_stage1=int8_stage1)
+
+
 def _prune_cache_dir(cache_dir: str, *, keep: str,
                      max_bytes: int | None = None) -> None:
     """Evict oldest-accessed cache entries beyond the size cap."""
@@ -391,7 +424,8 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
                           corner16_modes: str = "",
                           fold16_modes: str = "",
                           k128_stage1: str = "",
-                          int8_stage1: str = "") -> dict:
+                          int8_stage1: str = "",
+                          device: bool = False) -> dict:
     """Host-side: corner-expanded device tables, rotation-folded when legal.
 
     Per "s{stage}_{mode}" key:
@@ -433,13 +467,41 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
     bound table memory at small intervals: rank tables cost 24/16 * 5/16
     the rows x widths — ~640 MB per stage-2 mode at interval=4).
 
-    Returns HOST (NumPy) arrays — callers `jax.device_put` them (or pass
-    them to the jitted cascade as arguments).  Building device arrays here
-    would round-trip every table through the accelerator transport, which
-    is minutes of D2H for GB-scale tables behind a remote-device tunnel.
+    With `device=False` (default) returns HOST (NumPy) arrays — callers
+    `jax.device_put` them (or pass them to the jitted cascade as
+    arguments).  `device=True` builds the tables ON the accelerator from
+    the small source LUTs (every format is a pure gather/permutation —
+    `simplex_tables.*_device` twins, byte-identical): behind a
+    remote-device tunnel this replaces a 200+ MB host->device table
+    upload (measured ~5 min when the tunnel is degraded) with a ~4 MB
+    one, and it is also the fast path for evaluator startup on real
+    hardware.
 
     Feed the result to `lut_cascade_int(..., expanded=True)`.
     """
+    if device:
+        import jax.numpy as jnp
+
+        xp = jnp
+        _expand = simplex_tables.expand_lut_device
+        _fold = simplex_tables.fold_lut_device
+        _rank_fold = simplex_tables.rank_fold_lut_device
+        _rank_shared = simplex_tables.rank_expand_shared_device
+        _rank_rot = simplex_tables.rank_expand_rotations_device
+
+        def _src(a):
+            return jnp.asarray(np.asarray(a).astype(np.int8))
+    else:
+        xp = np
+        _expand = simplex_tables.expand_lut
+        _fold = simplex_tables.fold_lut
+        _rank_fold = simplex_tables.rank_fold_lut
+        _rank_shared = simplex_tables.rank_expand_shared
+        _rank_rot = simplex_tables.rank_expand_rotations
+
+        def _src(a):
+            return np.asarray(a).astype(np.int8)
+
     L = 2 ** (8 - interval) + 1
     out = {}
     for key, lut in luts.items():
@@ -457,71 +519,70 @@ def prepare_expanded_luts(luts: dict, *, interval: int = 4,
         # row blowup stops fitting HBM comfortably (L=33 -> 28.5M rows).
         use_rank = (rank and v > 1 and L <= 17
                     and mode not in fold16_modes)
-        # fold16_modes: symmetric modes listed here keep the rotation
-        # fold but drop the 24x rank expansion — plain 16-corner folded
-        # rows (`fold_lut`, (L**4, 64*v) = 85.5 MB at interval 4 / v 16,
-        # 9x smaller than the rank table).  Gathered bytes rise 16/5x,
-        # but the small table's locality + the group-fold kernel's
-        # 128-lane tree reduction make the 16-corner contraction cheap.
-        if shared_quad and v > 1 and mode in corner16_modes:
-            # Shared un-permuted 16-corner rows: (L**4, 16*v) s8 — only
-            # 21.4 MB at interval 4 / v 16, small enough for XLA to
-            # stage into VMEM under a raised scoped-vmem budget, where
-            # gathers run ~4.4x faster per row than from HBM (r3 cost
-            # model, PERF.md).  Consumed by the tail kernel's quad path
-            # (which applies the lane un-rotation itself); symmetric
-            # modes listed here trade their rotation-fold for 4 VMEM
-            # gathers.  Format is shape-detected downstream.
-            e = simplex_tables.expand_lut(arr.astype(np.int8), interval)
-            out[key] = e.reshape(e.shape[0], 16 * v)
-            continue
-        if v == 1 and mode in k128_stage1:
-            # 128-lane kernel layout (see docstring): corner-major groups
-            # of 8 lanes so `fold_contract(C=16, u=8)`'s tree fold runs in
-            # full-128-lane space with zero relayouts.
+
+        # One function per table so the device path compiles ONE XLA
+        # program per table (eager per-op dispatch costs dozens of tiny
+        # remote compiles on a cold start).
+        def build_one(a8, *, geo=geo, v=v, up=up, use_rank=use_rank,
+                      mode=mode):
+            # fold16_modes: symmetric modes listed there keep the
+            # rotation fold but drop the 24x rank expansion — plain
+            # 16-corner folded rows (`fold_lut`, (L**4, 64*v) = 85.5 MB
+            # at interval 4 / v 16, 9x smaller than the rank table).
+            # Gathered bytes rise 16/5x, but the small table's locality
+            # + the group-fold kernel's 128-lane tree reduction make the
+            # 16-corner contraction cheap.
+            if shared_quad and v > 1 and mode in corner16_modes:
+                # Shared un-permuted 16-corner rows: (L**4, 16*v) s8 —
+                # only 21.4 MB at interval 4 / v 16; consumed by the
+                # tail kernel's quad path (which applies the lane
+                # un-rotation itself).  Format is shape-detected
+                # downstream.
+                e = _expand(a8, interval)
+                return e.reshape(e.shape[0], 16 * v)
+            if v == 1 and mode in k128_stage1:
+                # 128-lane kernel layout (see docstring): corner-major
+                # groups of 8 lanes so `fold_contract(C=16, u=8)`'s tree
+                # fold runs in full-128-lane space with zero relayouts.
+                if geo is not None:
+                    f = _fold(a8, geo, None, interval).reshape(-1, 16, 4)
+                else:
+                    f = _expand(a8, interval)
+                    f = f.reshape(f.shape[0], 16, 1)
+                k = xp.pad(f, ((0, 0), (0, 0), (0, 8 - f.shape[2])))
+                return k.reshape(-1, 128)
             if geo is not None:
-                f = simplex_tables.fold_lut(
-                    arr.astype(np.int8), geo, None, interval
-                ).reshape(-1, 16, 4)
-            else:
-                f = simplex_tables.expand_lut(arr.astype(np.int8), interval)
-                f = f.reshape(f.shape[0], 16, 1)
-            k = np.zeros((f.shape[0], 16, 8), np.int8)
-            k[:, :, : f.shape[2]] = f
-            out[key] = k.reshape(-1, 128)
-            continue
-        if geo is not None:
-            perms = (
-                [lane_rotation_perm(up, r) for r in range(4)] if v > 1 else None
-            )
-            build = (simplex_tables.rank_fold_lut if use_rank
-                     else simplex_tables.fold_lut)
-            out[key] = build(arr.astype(np.int8), geo, perms, interval)
-            continue
-        if use_rank:
-            if shared_quad:
-                # One un-permuted table serves all 4 rotations when the
-                # consumer (the Pallas tail kernel) applies the lane
-                # un-rotation itself — 4x gather locality, 1/4 the HBM.
-                out[key] = simplex_tables.rank_expand_shared(
-                    arr.astype(np.int8), interval
+                perms = (
+                    [lane_rotation_perm(up, r) for r in range(4)]
+                    if v > 1 else None
                 )
-                continue
-            perms = [lane_rotation_perm(up, r) for r in range(4)]
-            out[key] = simplex_tables.rank_expand_rotations(
-                arr.astype(np.int8), perms, interval
-            )
-            continue
-        e = simplex_tables.expand_lut(arr.astype(np.int8), interval)
-        if v == 1:
-            dt = np.int8 if mode in int8_stage1 else np.int32
-            out[key] = e.reshape(e.shape[0], 16).astype(dt)
-        else:
+                build = _rank_fold if use_rank else _fold
+                return build(a8, geo, perms, interval)
+            if use_rank:
+                if shared_quad:
+                    # One un-permuted table serves all 4 rotations when
+                    # the consumer (the Pallas tail kernel) applies the
+                    # lane un-rotation itself — 4x gather locality, 1/4
+                    # the HBM.
+                    return _rank_shared(a8, interval)
+                perms = [lane_rotation_perm(up, r) for r in range(4)]
+                return _rank_rot(a8, perms, interval)
+            e = _expand(a8, interval)
+            if v == 1:
+                dt = np.int8 if mode in int8_stage1 else np.int32
+                return e.reshape(e.shape[0], 16).astype(dt)
             copies = [
                 e[:, :, lane_rotation_perm(up, r)].reshape(e.shape[0], -1)
                 for r in range(4)
             ]
-            out[key] = np.stack(copies)
+            return xp.stack(copies)
+
+        if device:
+            import jax
+
+            out[key] = jax.jit(build_one)(_src(arr))
+        else:
+            out[key] = build_one(_src(arr))
     return out
 
 

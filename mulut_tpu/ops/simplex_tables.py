@@ -401,6 +401,129 @@ def expand_indices(interval: int = 4) -> np.ndarray:
     return out.reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# Device-side table construction.
+#
+# Every expanded-table format is a pure gather/permutation of the source
+# (L**4, v) int8 LUT, so the expansion can run ON the accelerator from a
+# ~4 MB upload instead of shipping 200+ MB of pre-built tables host->device
+# — behind a remote-device tunnel the table upload alone was measured at
+# ~5 minutes (r4 probe), dwarfing every other cold-start cost.  Each
+# function is the byte-identical twin of its host builder above (tested in
+# tests/test_device_tables.py).
+# ---------------------------------------------------------------------------
+
+
+def _digits_device(L: int):
+    import jax.numpy as jnp
+
+    idx = jnp.arange(L ** 4, dtype=jnp.int32)
+    return (idx // L ** 3 % L, idx // L ** 2 % L, idx // L % L, idx % L)
+
+
+def expand_lut_device(lut, interval: int = 4):
+    """Device twin of `expand_lut`: (L**4, v) -> (L**4, 16, v)."""
+    import jax.numpy as jnp
+
+    L = 2 ** (8 - interval) + 1
+    v = lut.shape[1] if lut.ndim == 2 else 1
+    flat = lut.reshape(L ** 4, v)
+    da, db, dc, dd = _digits_device(L)
+    cols = []
+    for m in range(16):
+        a = jnp.minimum(da + ((m >> 3) & 1), L - 1)
+        b = jnp.minimum(db + ((m >> 2) & 1), L - 1)
+        c = jnp.minimum(dc + ((m >> 1) & 1), L - 1)
+        d = jnp.minimum(dd + (m & 1), L - 1)
+        corner = ((a * L + b) * L + c) * L + d
+        cols.append(jnp.take(flat, corner, axis=0))
+    return jnp.stack(cols, axis=1)
+
+
+def _mode_mask_perm(sigma) -> np.ndarray:
+    """(16,) corner-mask permutation induced by digit permutation sigma."""
+    return np.array(
+        [
+            sum(((m >> (3 - sigma[i])) & 1) << (3 - i) for i in range(4))
+            for m in range(16)
+        ]
+    )
+
+
+def fold_lut_device(lut, geometry, lane_perms=None, interval: int = 4):
+    """Device twin of `fold_lut`: -> (L**4, 16*4*v)."""
+    import jax.numpy as jnp
+
+    L = 2 ** (8 - interval) + 1
+    e = expand_lut_device(lut, interval)  # (L**4, 16, v)
+    digits = _digits_device(L)
+    blocks = []
+    for r, (_, sigma) in enumerate(geometry):
+        d = [digits[s] for s in sigma]
+        pidx = ((d[0] * L + d[1]) * L + d[2]) * L + d[3]
+        er = jnp.take(e, pidx, axis=0)
+        er = jnp.take(er, jnp.asarray(_mode_mask_perm(sigma)), axis=1)
+        if lane_perms is not None:
+            er = jnp.take(er, jnp.asarray(lane_perms[r]), axis=2)
+        blocks.append(er)
+    folded = jnp.stack(blocks, axis=2)  # (L**4, 16, 4, v)
+    return folded.reshape(L ** 4, -1)
+
+
+def _rank_pad_device(out, v: int):
+    import jax.numpy as jnp
+
+    row = out.shape[-1]
+    if row % 128 and (128 % (4 * v) == 0 or (4 * v) % 128 == 0):
+        target = -(-row // 128) * 128
+        out = jnp.pad(out, ((0, 0), (0, target - row)))
+    return out
+
+
+def rank_fold_lut_device(lut, geometry, lane_perms=None, interval: int = 4):
+    """Device twin of `rank_fold_lut`: -> (L**4*24, tile-padded 5*4*v)."""
+    import jax.numpy as jnp
+
+    L = 2 ** (8 - interval) + 1
+    v = lut.shape[1] if lut.ndim == 2 else 1
+    folded = fold_lut_device(lut, geometry, lane_perms, interval)
+    folded = folded.reshape(L ** 4, 16, 4 * v)
+    chains = jnp.asarray(rank_chain_masks().reshape(-1), jnp.int32)
+    out = jnp.take(folded, chains, axis=1).reshape(L ** 4, 24, 5, 4 * v)
+    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(L ** 4 * 24, 5 * 4 * v)
+    return _rank_pad_device(out, v)
+
+
+def rank_expand_shared_device(lut, interval: int = 4):
+    """Device twin of `rank_expand_shared`: -> (L**4*24, 5*v)."""
+    import jax.numpy as jnp
+
+    L = 2 ** (8 - interval) + 1
+    e = expand_lut_device(lut, interval)  # (L**4, 16, v)
+    v = e.shape[-1]
+    chains = jnp.asarray(rank_chain_masks().reshape(-1), jnp.int32)
+    ec = jnp.take(e, chains, axis=1).reshape(L ** 4, 24, 5, v)
+    return jnp.transpose(ec, (1, 0, 2, 3)).reshape(L ** 4 * 24, 5 * v)
+
+
+def rank_expand_rotations_device(lut, lane_perms=None, interval: int = 4):
+    """Device twin of `rank_expand_rotations`: -> (4, L**4*24, 5*v)."""
+    import jax.numpy as jnp
+
+    L = 2 ** (8 - interval) + 1
+    e = expand_lut_device(lut, interval)
+    v = e.shape[-1]
+    chains = jnp.asarray(rank_chain_masks().reshape(-1), jnp.int32)
+    ec = jnp.take(e, chains, axis=1).reshape(L ** 4, 24, 5, v)
+    ec = jnp.transpose(ec, (1, 0, 2, 3))  # (24, L**4, 5, v)
+    rots = []
+    for r in range(4):
+        er = (jnp.take(ec, jnp.asarray(lane_perms[r]), axis=3)
+              if lane_perms is not None else ec)
+        rots.append(er.reshape(L ** 4 * 24, 5 * v))
+    return jnp.stack(rots)
+
+
 def comparison_code(fa, fb, fc, fd, xp=np):
     """6-bit code from the strict pairwise comparisons (host/NumPy helper)."""
     return (

@@ -1,0 +1,169 @@
+"""Checkpoint distillation: fit MXU-shaped units to dense reference units.
+
+The mxu deployment arch (`init_srnets(arch="mxu")`; PERF.md "The
+architecture change, measured") deploys ~1.6x faster than the reference's
+dense-concat shapes, but the reference checkpoint cannot be loaded into it
+directly (different hidden widths).  Distillation closes the gap without
+any training data: the unit contract is 4 taps in -> upscale**2 lanes out
+(ref: common/network.py:62-105), so each imported dense unit DEFINES its
+student's target function on the whole input domain [0, 1]^4.  Sampling
+that domain — the 17^4 transfer lattice (ref: sr/2_transfer_to_lut.py:12-42)
+densified with random interior and correlated "natural-statistics" points —
+and regressing the student on the teacher's outputs converts the shipped
+`Model_200000.pth` into mxu weights that can be scored on real Set5.
+
+This is the reference's own LUT-caching idea taken one step further: step 2
+memoizes each unit into a table over the same lattice; distillation
+re-compresses the unit into a faster network instead of a table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.blocks import apply_mulut_unit, init_mulut_unit
+
+
+def transfer_lattice(interval: int = 4) -> np.ndarray:
+    """(L**4, 4) float32 lattice in [0, 1] — the step-2 transfer grid.
+
+    base = arange(0, 257, 2**interval) with base[-1] -= 1 (ref:
+    sr/2_transfer_to_lut.py:13-15), all 4-tuples, /255.
+    """
+    base = np.arange(0, 257, 2 ** interval)
+    base[-1] -= 1
+    L = base.shape[0]
+    idx = np.arange(L ** 4)
+    digits = np.stack(
+        [idx // L ** 3 % L, idx // L ** 2 % L, idx // L % L, idx % L], axis=1
+    )
+    return (base[digits] / 255.0).astype(np.float32)
+
+
+def sample_taps(key, n: int, *, lattice=None):
+    """(n, 4) training inputs: uniform + correlated + lattice mixture.
+
+    Real-image taps are strongly correlated (neighboring pixels), so half
+    the budget samples tap vectors clustered around a common base value at
+    two spreads; a quarter is uniform over [0, 1]^4 (the worst-case
+    corners the LUT grid also covers); the rest re-visits random lattice
+    points (where step-2 caching will later evaluate the student
+    exactly).
+    """
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    n_nat = n // 2
+    n_uni = n // 4
+    n_lat = n - n_nat - n_uni
+    uni = jax.random.uniform(k1, (n_uni, 4))
+    base = jax.random.uniform(k2, (n_nat, 1))
+    spread = jnp.where(
+        jax.random.bernoulli(k3, 0.5, (n_nat, 1)), 0.03, 0.15
+    )
+    nat = jnp.clip(
+        base + spread * jax.random.normal(k4, (n_nat, 4)), 0.0, 1.0
+    )
+    if lattice is None:
+        lat = jax.random.uniform(k5, (n_lat, 4))
+    else:
+        idx = jax.random.randint(k6, (n_lat,), 0, lattice.shape[0])
+        lat = jnp.take(lattice, idx, axis=0)
+    return jnp.concatenate([uni, nat, lat], axis=0)
+
+
+def distill_unit(key, teacher: dict, *, nf: int = 128, depth: int = 2,
+                 upscale: int = 1, iters: int = 4000, batch: int = 65536,
+                 lr0: float = 2e-3, lr1: float = 1e-5,
+                 interval: int = 4, log_every: int = 0):
+    """Fit one plain (mxu) unit to a dense teacher unit.
+
+    Returns (student_params, metrics) where metrics carries the final
+    domain-MSE and the max |error| over the full transfer lattice (the
+    points step-2 caching evaluates — the LUT-artifact fidelity bound).
+    """
+    import optax
+
+    out_dim = teacher["w6"].shape[1]
+    assert out_dim == upscale * upscale, (out_dim, upscale)
+    k_init, k_data = jax.random.split(key)
+    student = init_mulut_unit(
+        k_init, nf=nf, upscale=upscale, dense=False, depth=depth
+    )
+    lattice = jnp.asarray(transfer_lattice(interval))
+
+    schedule = optax.cosine_decay_schedule(lr0, iters, alpha=lr1 / lr0)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(student)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        x = sample_taps(key, batch, lattice=lattice)
+        y = apply_mulut_unit(teacher, x)
+        def loss_fn(p):
+            pred = apply_mulut_unit(p, x)
+            return jnp.mean((pred - y) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    keys = jax.random.split(k_data, iters)
+    loss = jnp.zeros(())
+    for i in range(iters):
+        student, opt_state, loss = step(student, opt_state, keys[i])
+        if log_every and (i + 1) % log_every == 0:
+            print(f"  it {i + 1}/{iters} loss {float(loss):.3e}", flush=True)
+
+    @jax.jit
+    def lattice_err(params):
+        y = apply_mulut_unit(teacher, lattice)
+        p = apply_mulut_unit(params, lattice)
+        err = p - y
+        return jnp.mean(err ** 2), jnp.max(jnp.abs(err))
+
+    mse, max_abs = lattice_err(student)
+    metrics = {
+        "final_batch_mse": float(loss),
+        "lattice_mse": float(mse),
+        "lattice_max_abs": float(max_abs),
+        # in int8 LUT levels (the artifact quantum, 2/254 per level)
+        "lattice_max_levels": float(max_abs) * 127.0,
+    }
+    return student, metrics
+
+
+def distill_srnets(dense_params: dict, *, modes: str = "sdy",
+                   stages: int = 2, scale: int = 4, nf: int = 128,
+                   depth: int = 2, iters: int = 4000, batch: int = 65536,
+                   lr0: float = 2e-3, lr1: float = 1e-5, seed: int = 0,
+                   interval: int = 4, verbose: bool = False):
+    """Distill every unit of an SRNets registry into mxu students.
+
+    `dense_params` is the pytree from `torch_import.srnets_params_from_torch`
+    (or any dense `init_srnets` result).  Returns (mxu_params, metrics)
+    with matching "s{stage}_{mode}" keys (ref registry: sr/model.py:15-36).
+    """
+    key = jax.random.PRNGKey(seed)
+    students, metrics = {}, {}
+    for s in range(stages):
+        upscale = scale if s + 1 == stages else 1
+        for mode in modes:
+            name = f"s{s + 1}_{mode}"
+            key, sub = jax.random.split(key)
+            if verbose:
+                print(f"distilling {name} (upscale {upscale}) ...",
+                      flush=True)
+            students[name], metrics[name] = distill_unit(
+                sub, dense_params[name], nf=nf, depth=depth,
+                upscale=upscale, iters=iters, batch=batch, lr0=lr0,
+                lr1=lr1, interval=interval,
+                log_every=iters // 4 if verbose else 0,
+            )
+            if verbose:
+                m = metrics[name]
+                print(f"  {name}: lattice mse {m['lattice_mse']:.3e}, "
+                      f"max |err| {m['lattice_max_levels']:.2f} LUT levels",
+                      flush=True)
+    return students, metrics

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ensemble import lut_cascade_int, prepare_expanded_luts_cached
+from ..ops.ensemble import lut_cascade_int, prepare_expanded_luts_auto
 from ..utils.imgio import load_image, save_image
 from ..utils.lut_io import load_luts
 from ..utils.metrics import modcrop, psnr_ssim_y
@@ -103,7 +103,7 @@ class LutEvaluator:
         f16 = os.environ.get("MULUT_FOLD16", "sd") if self.kernel else ""
         k1 = os.environ.get("MULUT_K128", "sd") if self.kernel else ""
         s18 = os.environ.get("MULUT_S1_INT8", "y") if self.kernel else ""
-        tabs = prepare_expanded_luts_cached(
+        tabs = prepare_expanded_luts_auto(
             luts, interval=interval, shared_quad=self.kernel,
             corner16_modes=c16, fold16_modes=f16, k128_stage1=k1,
             int8_stage1=s18,
