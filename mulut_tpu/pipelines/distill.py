@@ -19,8 +19,6 @@ re-compresses the unit into a faster network instead of a table.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,6 +130,83 @@ def distill_unit(key, teacher: dict, *, nf: int = 128, depth: int = 2,
         "lattice_max_levels": float(max_abs) * 127.0,
     }
     return student, metrics
+
+
+def distill_finetune_cascade(students: dict, dense_params: dict, *,
+                             modes: str = "sdy", stages: int = 2,
+                             scale: int = 4, iters: int = 2000,
+                             batch: int = 16, crop: int = 48,
+                             lr0: float = 2e-4, lr1: float = 1e-6,
+                             seed: int = 0, sigma: float = 0.0,
+                             verbose: bool = False):
+    """Image-space distillation: fine-tune the WHOLE mxu cascade onto the
+    dense cascade's outputs.
+
+    Per-unit domain distillation minimizes pointwise unit error under a
+    synthetic input distribution; what Set5 scores is the COMPOSED
+    cascade on natural-image statistics.  This pass closes that gap: crops
+    of procedurally generated images (data/synthetic — no DIV2K needed)
+    go through the frozen dense teacher cascade (valid phase), and the mxu
+    student cascade (train phase, STE rounds active) regresses onto those
+    outputs.  The teacher IS the reference checkpoint, so no ground-truth
+    HR is involved — the student can only move toward the teacher.
+
+    `sigma > 0` adds Gaussian noise to the crops (diversifies statistics).
+    Returns (students, losses).
+    """
+    import optax
+
+    from ..data.synthetic import _synth_image
+    from ..models.srnet import srnets_predict
+
+    # a pool of synthetic images to crop from (host, built once)
+    rng = np.random.default_rng(seed)
+    pool = np.stack([
+        np.asarray(_synth_image(rng, 192), np.float32) / 255.0
+        for _ in range(24)
+    ])  # (P, H, W, 3)
+
+    schedule = optax.cosine_decay_schedule(lr0, iters, alpha=lr1 / lr0)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(students)
+
+    @jax.jit
+    def step(params, opt_state, x):
+        target = srnets_predict(dense_params, x, modes=modes,
+                                stages=stages, scale=scale, phase="train")
+        target = jax.lax.stop_gradient(target)
+
+        def loss_fn(p):
+            pred = srnets_predict(p, x, modes=modes, stages=stages,
+                                  scale=scale, phase="train")
+            return jnp.mean((pred - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(iters):
+        pi = rng.integers(0, pool.shape[0], batch)
+        ys = rng.integers(0, pool.shape[1] - crop, batch)
+        xs = rng.integers(0, pool.shape[2] - crop, batch)
+        ch = rng.integers(0, 3, batch)
+        crops = np.stack([
+            pool[p, y : y + crop, x : x + crop, c]
+            for p, y, x, c in zip(pi, ys, xs, ch)
+        ])[:, None]  # (B, 1, crop, crop) — single random channel like the
+        # reference's training crops (ref: sr/data.py:99)
+        if sigma > 0:
+            crops = np.clip(
+                crops + rng.normal(0, sigma / 255.0, crops.shape), 0, 1
+            )
+        students, opt_state, loss = step(
+            students, opt_state, jnp.asarray(crops, jnp.float32))
+        losses.append(float(loss))
+        if verbose and (i + 1) % max(1, iters // 8) == 0:
+            print(f"  e2e it {i + 1}/{iters} loss {losses[-1]:.3e}",
+                  flush=True)
+    return students, losses
 
 
 def distill_srnets(dense_params: dict, *, modes: str = "sdy",

@@ -58,7 +58,21 @@ def make_optimizer(lr0: float, lr1: float, total_iter: int, weight_decay: float 
     return optax.adam(sched, b1=0.9, b2=0.999, eps=1e-8)
 
 
-def make_train_step(optimizer, *, modes: str, stages: int, scale: int):
+def make_train_step(optimizer, *, modes: str, stages: int, scale: int,
+                    precision: str = "f32"):
+    """One jitted training step.
+
+    precision='bf16' is the mixed-precision mode for the mxu arch
+    (VERDICT r3 #7): master params, gradients and Adam state stay f32;
+    the cascade forward/backward run in bfloat16 with single-pass MXU
+    matmuls — the f32-HIGHEST path pays 3-pass matmul emulation, which
+    is where the mxu units' 2.6-3.2x train-time premium over dense came
+    from (PERF.md).  The cast sits inside loss_fn, so grads flow back
+    through it to the f32 masters (cast-of-grad, standard mixed
+    precision); the loss itself is computed in f32.
+    """
+    bf16 = precision == "bf16"
+
     @jax.jit
     def step(params, opt_state, im, lb):
         # batches arrive uint8; normalize on device (4x less H2D traffic)
@@ -66,8 +80,17 @@ def make_train_step(optimizer, *, modes: str, stages: int, scale: int):
         lb = lb.astype(jnp.float32) / 255.0
 
         def loss_fn(p):
-            pred = srnets_predict(p, im, modes=modes, stages=stages,
-                                  scale=scale, phase="train")
+            if bf16:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), p)
+                pred = srnets_predict(
+                    p, im.astype(jnp.bfloat16), modes=modes, stages=stages,
+                    scale=scale, phase="train",
+                    precision=jax.lax.Precision.DEFAULT,
+                ).astype(jnp.float32)
+            else:
+                pred = srnets_predict(p, im, modes=modes, stages=stages,
+                                      scale=scale, phase="train")
             return jnp.mean((pred - lb) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -189,7 +212,8 @@ def train(opt) -> dict:
         params = replicate_tree(mesh, params)
         opt_state = replicate_tree(mesh, opt_state)
     step = make_train_step(optimizer, modes=opt.modes, stages=opt.stages,
-                           scale=opt.scale)
+                           scale=opt.scale,
+                           precision=getattr(opt, "trainPrecision", "f32"))
 
     provider = Provider(opt.batchSize, opt.workerNum, opt.scale, opt.trainDir,
                         opt.cropSize)

@@ -198,6 +198,13 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--weightDecay", type=float, default=0)
         parser.add_argument("--gpuNum", "-g", type=int, default=1)
         parser.add_argument("--workerNum", "-n", type=int, default=8)
+        parser.add_argument("--trainPrecision", type=str, default="f32",
+                            choices=["f32", "bf16"],
+                            help="forward/backward compute precision; "
+                                 "'bf16' keeps f32 master weights and "
+                                 "casts the cascade to bfloat16 (the mxu "
+                                 "arch's fast-train mode — the dense "
+                                 "reference shapes default to exact f32)")
         return parser
 
     def process(self, opt):

@@ -60,6 +60,22 @@ def test_distill_unit_converges_onto_small_teacher():
     assert err.mean() < 0.05, err.mean()
 
 
+def test_distill_finetune_cascade_descends():
+    """Image-space distillation: the composed mxu cascade regresses onto
+    the frozen dense cascade's outputs (loss strictly improves)."""
+    from mulut_tpu.models.srnet import init_srnets
+    from mulut_tpu.pipelines.distill import distill_finetune_cascade
+
+    dense = init_srnets(jax.random.PRNGKey(0), nf=8, scale=2, modes="s",
+                        stages=2)
+    students = init_srnets(jax.random.PRNGKey(1), nf=16, scale=2,
+                           modes="s", stages=2, arch="mxu")
+    students, losses = distill_finetune_cascade(
+        students, dense, modes="s", stages=2, scale=2, iters=20, batch=4,
+        crop=16)
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
 def test_distill_srnets_registry_contract():
     key = jax.random.PRNGKey(0)
     from mulut_tpu.models.srnet import init_srnets

@@ -194,3 +194,27 @@ def test_mxu_training_step_descends():
         updates, state = opt.update(grads, state)
         params = optax.apply_updates(params, updates)
     assert float(loss_fn(params)) < float(l0)
+
+
+def test_mxu_bf16_train_step_descends_keeps_f32_masters():
+    """The mixed-precision train step (--trainPrecision bf16): compute in
+    bfloat16, f32 master params/optimizer state, loss still decreases."""
+    from mulut_tpu.pipelines.train import make_optimizer, make_train_step
+
+    rng = np.random.default_rng(7)
+    params = init_srnets(jax.random.PRNGKey(7), nf=16, scale=2, modes="s",
+                         stages=2, arch="mxu")
+    optimizer = make_optimizer(1e-3, 1e-4, 100)
+    opt_state = optimizer.init(params)
+    step = make_train_step(optimizer, modes="s", stages=2, scale=2,
+                           precision="bf16")
+    im = rng.integers(0, 256, (4, 1, 8, 8), dtype=np.uint8)
+    lb = rng.integers(0, 256, (4, 1, 16, 16), dtype=np.uint8)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, im, lb)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # master weights stay f32 (the cast lives inside the step)
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32
