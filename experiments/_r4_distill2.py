@@ -38,6 +38,15 @@ def main():
     p.add_argument("--nf", type=int, default=128)
     p.add_argument("--depths", type=int, nargs="+", default=[2, 3])
     p.add_argument("--sigma", type=float, default=0.0)
+    p.add_argument("--real", action="store_true",
+                   help="mix crops from the shipped real DIV2K LR training "
+                        "image (data/DIV2K/LR/X4/0001x4.png — training "
+                        "side, never a test image) into the input pool; "
+                        "the synthetic-only pass measured NEGATIVE on "
+                        "Set5 (30.323 -> 30.269)")
+    p.add_argument("--extra-weight", type=float, default=0.7)
+    p.add_argument("--suffix", type=str, default="_ft")
+    p.add_argument("--src-suffix", type=str, default="")
     args = p.parse_args()
 
     lab.setup()
@@ -52,25 +61,36 @@ def main():
     from mulut_tpu.pipelines.evaluate import NetEvaluator
 
     dense = srnets_params_from_torch(CKPT, modes="sdy", stages=2)
+    extra = None
+    if args.real:
+        from mulut_tpu.utils import load_image
+
+        extra = [load_image(
+            "/root/reference/data/DIV2K/LR/X4/0001x4.png")]
     results = {}
     for depth in args.depths:
         tag = f"mxu-nf{args.nf}-d{depth}"
-        src = os.path.join(ART, f"mxu_distilled_x4sdy_nf{args.nf}_d{depth}.npz")
+        src = os.path.join(
+            ART,
+            f"mxu_distilled_x4sdy_nf{args.nf}_d{depth}{args.src_suffix}.npz")
         students = load_params_npz(src)
-        print(f"== e2e fine-tune {tag} ({args.iters} iters) ==", flush=True)
+        print(f"== e2e fine-tune {tag} ({args.iters} iters, "
+              f"real={args.real}) ==", flush=True)
         students, losses = distill_finetune_cascade(
             students, dense, modes="sdy", stages=2, scale=4,
             iters=args.iters, batch=args.batch, crop=args.crop,
-            lr0=args.lr0, sigma=args.sigma, verbose=True,
+            lr0=args.lr0, sigma=args.sigma, extra_images=extra,
+            extra_weight=args.extra_weight, verbose=True,
         )
-        dst = src.replace(".npz", "_ft.npz")
+        dst = src.replace(args.src_suffix + ".npz", args.suffix + ".npz") \
+            if args.src_suffix else src.replace(".npz", args.suffix + ".npz")
         save_params_npz(dst, {k: {n: np.asarray(a) for n, a in u.items()}
                               for k, u in students.items()})
         print(f"saved {dst}", flush=True)
         ev = NetEvaluator(students, stages=2, modes="sdy", scale=4,
                           fast=True)
         print(f"== {tag} after e2e fine-tune ==", flush=True)
-        results[tag + "-ft"] = run_benchmark(ev, BENCH, ["Set5"])
+        results[tag + args.suffix] = run_benchmark(ev, BENCH, ["Set5"])
         results[tag + "-loss"] = {
             "first": round(losses[0], 6),
             "last": round(float(np.mean(losses[-50:])), 6),

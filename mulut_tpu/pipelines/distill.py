@@ -138,6 +138,7 @@ def distill_finetune_cascade(students: dict, dense_params: dict, *,
                              batch: int = 16, crop: int = 48,
                              lr0: float = 2e-4, lr1: float = 1e-6,
                              seed: int = 0, sigma: float = 0.0,
+                             extra_images=None, extra_weight: float = 0.7,
                              verbose: bool = False):
     """Image-space distillation: fine-tune the WHOLE mxu cascade onto the
     dense cascade's outputs.
@@ -152,19 +153,26 @@ def distill_finetune_cascade(students: dict, dense_params: dict, *,
     HR is involved — the student can only move toward the teacher.
 
     `sigma > 0` adds Gaussian noise to the crops (diversifies statistics).
-    Returns (students, losses).
+    `extra_images` (list of HWC uint8 arrays — e.g. real LR training
+    images; NEVER test images) are mixed in with probability
+    `extra_weight` per crop: the r4 chip A/B measured that synthetic-only
+    crops pull the students OFF real-image statistics (Set5 30.323 ->
+    30.269 after a synthetic-only pass), so real inputs should dominate
+    when available.  Returns (students, losses).
     """
     import optax
 
     from ..data.synthetic import _synth_image
     from ..models.srnet import srnets_predict
 
-    # a pool of synthetic images to crop from (host, built once)
+    # a pool of images to crop from (host, built once; variable sizes ok)
     rng = np.random.default_rng(seed)
-    pool = np.stack([
+    pool = [
         np.asarray(_synth_image(rng, 192), np.float32) / 255.0
         for _ in range(24)
-    ])  # (P, H, W, 3)
+    ]
+    extra = [np.asarray(im, np.float32) / 255.0
+             for im in (extra_images or [])]
 
     schedule = optax.cosine_decay_schedule(lr0, iters, alpha=lr1 / lr0)
     opt = optax.adam(schedule)
@@ -187,15 +195,18 @@ def distill_finetune_cascade(students: dict, dense_params: dict, *,
 
     losses = []
     for i in range(iters):
-        pi = rng.integers(0, pool.shape[0], batch)
-        ys = rng.integers(0, pool.shape[1] - crop, batch)
-        xs = rng.integers(0, pool.shape[2] - crop, batch)
-        ch = rng.integers(0, 3, batch)
-        crops = np.stack([
-            pool[p, y : y + crop, x : x + crop, c]
-            for p, y, x, c in zip(pi, ys, xs, ch)
-        ])[:, None]  # (B, 1, crop, crop) — single random channel like the
-        # reference's training crops (ref: sr/data.py:99)
+        crops = []
+        for _ in range(batch):
+            src = (extra[rng.integers(len(extra))]
+                   if extra and rng.random() < extra_weight
+                   else pool[rng.integers(len(pool))])
+            y = rng.integers(0, src.shape[0] - crop)
+            x = rng.integers(0, src.shape[1] - crop)
+            c = rng.integers(0, src.shape[2])
+            crops.append(src[y : y + crop, x : x + crop, c])
+        # (B, 1, crop, crop) — single random channel like the reference's
+        # training crops (ref: sr/data.py:99)
+        crops = np.stack(crops)[:, None]
         if sigma > 0:
             crops = np.clip(
                 crops + rng.normal(0, sigma / 255.0, crops.shape), 0, 1
