@@ -203,7 +203,16 @@ def distill_finetune_cascade(students: dict, dense_params: dict, *,
             y = rng.integers(0, src.shape[0] - crop)
             x = rng.integers(0, src.shape[1] - crop)
             c = rng.integers(0, src.shape[2])
-            crops.append(src[y : y + crop, x : x + crop, c])
+            patch = src[y : y + crop, x : x + crop, c]
+            # rigid augmentation (flips + rot90, ref: sr/data.py:105-116)
+            # multiplies the effective pool 8x — matters when only one
+            # real image is available
+            if rng.random() < 0.5:
+                patch = patch[::-1]
+            if rng.random() < 0.5:
+                patch = patch[:, ::-1]
+            patch = np.rot90(patch, rng.integers(4))
+            crops.append(np.ascontiguousarray(patch))
         # (B, 1, crop, crop) — single random channel like the reference's
         # training crops (ref: sr/data.py:99)
         crops = np.stack(crops)[:, None]
