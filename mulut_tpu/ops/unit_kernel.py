@@ -566,15 +566,68 @@ def _plain_q2_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     out_ref[:] = acc
 
 
-#: "pass" | "iv" | "rs" | "rsiv" — pass-major, layer-major interleave,
-#: rotation-row-stacked, or rotation-stacked + mode-layer-major (see the
-#: respective kernels).  PLAIN_INTERLEAVE=True is honored as "iv" for
-#: backwards compatibility.
+def _make_plain_ivg_kernel(G: int):
+    """Group-interleaved plain kernel: passes advance layer-major in
+    groups of G.
+
+    Between the two measured extremes — pass-major (1 dependent chain at
+    a time, MXU drains between its matmuls) and full 12-way interleave
+    (no drains, but 12 live (T, nf) activations of VMEM pressure, 16-26%
+    SLOWER, PERF.md) — a group of G keeps only G live activations while
+    giving the MXU G-1 independent matmuls to overlap each chain's
+    drain.  Accumulation stays in (mode, rotation) order, so outputs are
+    bit-identical to pass-major (integer-valued f32 additions).
+    """
+
+    def kern(nf, n_modes, out_pad, depth,
+             t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+        acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
+        passes = [(mi, r) for mi in range(n_modes) for r in range(4)]
+        for g0 in range(0, len(passes), G):
+            grp = passes[g0 : g0 + G]
+            xs = []
+            for mi, r in grp:
+                col = (mi * 4 + r) * 4
+                t = t_ref[:, col : col + 4]
+                x = None
+                for k in range(4):
+                    term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                    x = term if x is None else x + term
+                xs.append(
+                    jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16))
+            for d in range(depth):
+                for i, (mi, _) in enumerate(grp):
+                    xk = jnp.dot(xs[i], hw[d, mi],
+                                 preferred_element_type=jnp.float32)
+                    xk = jnp.maximum(
+                        xk + hb[d, mi][None, :].astype(jnp.float32), 0)
+                    xs[i] = xk.astype(jnp.bfloat16)
+            for i, (mi, r) in enumerate(grp):
+                o = jnp.dot(xs[i], w6[mi, :, out_pad * r : out_pad * (r + 1)],
+                            preferred_element_type=jnp.float32)
+                o = jnp.tanh(
+                    o + b6[mi, out_pad * r : out_pad * (r + 1)][None, :]
+                    .astype(jnp.float32)
+                )
+                acc = acc + jnp.round(o * 127.0)
+        out_ref[:] = acc
+
+    return kern
+
+
+#: "pass" | "iv" | "ivg{2,3,4,6}" | "rs" | "rsiv" — pass-major,
+#: layer-major interleave, group-of-G interleave, rotation-row-stacked,
+#: or rotation-stacked + mode-layer-major (see the respective kernels).
+#: PLAIN_INTERLEAVE=True is honored as "iv" for backwards compatibility.
 PLAIN_SCHEDULE = "pass"
 
 _PLAIN_KERNELS = {
     "pass": _plain_ensemble_kernel,
     "iv": _plain_iv_kernel,
+    "ivg2": _make_plain_ivg_kernel(2),
+    "ivg3": _make_plain_ivg_kernel(3),
+    "ivg4": _make_plain_ivg_kernel(4),
+    "ivg6": _make_plain_ivg_kernel(6),
     "rs": _plain_rs_kernel,
     "rsiv": _plain_rsiv_kernel,
 }

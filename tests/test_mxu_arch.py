@@ -142,6 +142,30 @@ def test_mxu_rotation_stacked_kernel_bit_matches_pass_major():
         assert np.array_equal(got, want), sched
 
 
+def test_mxu_group_interleaved_kernels_bit_match_pass_major():
+    """Group-of-G interleave schedules == pass-major, bitwise (the G live
+    chains advance layer-major but accumulate in (mode, rotation) order)."""
+    import mulut_tpu.ops.unit_kernel as uk
+
+    rng = np.random.default_rng(9)
+    params = init_srnets(jax.random.PRNGKey(9), nf=16, scale=4, modes="sdy",
+                         stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy", stages=2,
+                                          scale=4, interpret=True))
+    for sched in ("ivg2", "ivg3", "ivg4", "ivg6"):
+        uk.PLAIN_SCHEDULE = sched
+        uk.stage_ensemble_apply.clear_cache()  # flag is not a jit key
+        try:
+            got = np.asarray(srnets_predict_fast(
+                stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+        finally:
+            uk.PLAIN_SCHEDULE = "pass"
+            uk.stage_ensemble_apply.clear_cache()
+        assert np.array_equal(got, want), sched
+
+
 def test_mxu_paired_stacking_rejected():
     params = init_srnets(jax.random.PRNGKey(4), nf=16, scale=4, modes="s",
                          stages=1, arch="mxu")
