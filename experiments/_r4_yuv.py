@@ -42,6 +42,8 @@ def main():
     p.add_argument("--schedules", nargs="+",
                    default=["pass", "ivg2", "ivg3", "ivg4"])
     p.add_argument("--tiles", type=int, nargs="+", default=[1024, 2048, 4096])
+    p.add_argument("--heads", nargs="+", default=["vpu"],
+                   help="PLAIN_HEAD values to ladder (vpu, mxu)")
     args = p.parse_args()
 
     if args.cpu:
@@ -89,9 +91,10 @@ def main():
     baseline = {}
 
     def run_one(cfg):
-        sched, tile = cfg
+        sched, tile, head = cfg
         uk.PLAIN_SCHEDULE = sched
         uk.ENSEMBLE_TILE = tile
+        uk.PLAIN_HEAD = head
         uk.stage_ensemble_apply.clear_cache()
         try:
             ev = build()
@@ -110,13 +113,20 @@ def main():
         finally:
             uk.PLAIN_SCHEDULE = "pass"
             uk.ENSEMBLE_TILE = 1024
+            uk.PLAIN_HEAD = "vpu"
             uk.stage_ensemble_apply.clear_cache()
 
-    cfgs = [(s, t) for t in args.tiles for s in args.schedules]
-    # baseline first so every checksum compares against pass/1024
-    cfgs.remove(("pass", 1024))
-    cfgs.insert(0, ("pass", 1024))
-    lab.ladder(cfgs, run_one, label=lambda c: f"{c[0]}/T{c[1]}")
+    cfgs = [(s, t, h) for h in args.heads for t in args.tiles
+            for s in args.schedules]
+    # baseline first so every checksum compares against pass/1024/vpu.
+    # NOTE: the mxu head is NOT bit-identical to the vpu head (f32 MXU
+    # tree vs sequential bf16 sum) — expect checksum MISMATCH there and
+    # judge it by quality (Set5), not parity.
+    base = ("pass", 1024, "vpu")
+    if base in cfgs:
+        cfgs.remove(base)
+    cfgs.insert(0, base)
+    lab.ladder(cfgs, run_one, label=lambda c: f"{c[0]}/T{c[1]}/{c[2]}")
 
 
 if __name__ == "__main__":

@@ -244,9 +244,28 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
     for s in range(stages):
         stage = s + 1
         upscale = unit_upscale(stage, stages, scale)
+        # Plain (mxu-arch) stacks fold the stage mixing into the kernel
+        # epilogue (bit-identical; deletes XLA's mix/cast fusions over the
+        # (N, 16) f32 buffer — see unit_kernel._apply_stage_mix).
+        plain = "hw" in stacked_stages[s]
+        taps = _ensemble_taps(x, modes)
+        if plain:
+            if stage == stages:
+                out = stage_ensemble_apply(
+                    stacked_stages[s], taps, n_modes=M,
+                    interpret=interpret, mix=("final", M),
+                )[:, : upscale * upscale]
+                out = out.reshape(B, C, H, W, upscale, upscale)
+                out = jnp.moveaxis(out, -2, -3)
+                return out.reshape(B, C, H * upscale, W * upscale)
+            xb = stage_ensemble_apply(
+                stacked_stages[s], taps, n_modes=M, interpret=interpret,
+                mix=("inner", M),
+            )
+            x = xb[:, 0].reshape(B, C, H, W)  # bf16, already mixed/255
+            continue
         acc = stage_ensemble_apply(
-            stacked_stages[s], _ensemble_taps(x, modes), n_modes=M,
-            interpret=interpret,
+            stacked_stages[s], taps, n_modes=M, interpret=interpret,
         )
         if stage == stages:
             out = jnp.round(acc[:, : upscale * upscale] / M)

@@ -224,12 +224,8 @@ def _pair_ensemble_kernel(nf: int, n_modes: int, out_pad: int,
                 r = 2 * p + jr
                 col = (mi * 4 + r) * 4
                 t = t_ref[:, col: col + 4]
-                x = None
-                for k in range(4):
-                    term = t[:, k: k + 1] * w1[mi, k: k + 1, :]
-                    x = term if x is None else x + term
-                scr[p][:, nf * jr: nf * (jr + 1)] = jnp.maximum(
-                    x + b1[mi][None, :], 0).astype(jnp.bfloat16)
+                scr[p][:, nf * jr: nf * (jr + 1)] = _plain_head(
+                    t, w1[mi], b1[mi])
         # layers 2..5: block-diagonal pair matmuls, the mode's two pairs
         # interleaved layer-major so consecutive matmuls are independent
         for k, (w, b) in enumerate(
@@ -261,11 +257,7 @@ def _ensemble_kernel(nf: int, n_modes: int, out_pad: int,
         for r in range(4):
             col = (mi * 4 + r) * 4
             t = t_ref[:, col : col + 4]
-            x = None
-            for k in range(4):
-                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
-                x = term if x is None else x + term
-            x = jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16)
+            x = _plain_head(t, w1[mi], b1[mi])
             cat[:, 0:nf] = x
             for li, (w, b) in enumerate(
                 ((w2, b2), (w3, b3), (w4, b4), (w5, b5)), start=1
@@ -284,8 +276,62 @@ def _ensemble_kernel(nf: int, n_modes: int, out_pad: int,
     out_ref[:] = acc
 
 
+#: Head-layer implementation for the bf16 ENSEMBLE kernels (plain/mxu,
+#: dense pass-major and pair alike — the quantized kernels keep their own
+#: calibrated heads): "vpu" (4 broadcast
+#: bf16 FMAs — the original form; a K=4 matmul is FLOP-inefficient on the
+#: MXU) or "mxu" (one (T, 4) x (4, nf) dot).  The r4 trace arithmetic
+#: says the VPU head costs ~0.5 us/pass at T=1024 — ~half the d2 pass —
+#: while the MXU runs the same head in ~0.14 us inside an already
+#: drain-bound chain.  Not bit-identical to "vpu" (bf16 sequential sum
+#: vs f32 MXU tree).  Chip A/B (r4, fused YUV mxu-d2 batch 8): mxu head
+#: 35.3 ms vs vpu 44.8 — a 1.27x deployment win — with Set5 quality
+#: EQUAL OR BETTER on the distilled weights (d2 30.425 vs 30.422, d3
+#: 30.481 vs 30.472; the f32 MXU tree is more precise than the bf16
+#: sequential sum), so "mxu" is the default.
+PLAIN_HEAD = "mxu"
+
+
+def _plain_head(t, w1_mi, b1_mi):
+    """(T, 4) bf16 taps -> (T, nf) bf16 relu head for one mode."""
+    if PLAIN_HEAD == "mxu":
+        x = jnp.dot(t, w1_mi, preferred_element_type=jnp.float32)
+        return jnp.maximum(
+            x + b1_mi[None, :].astype(jnp.float32), 0).astype(jnp.bfloat16)
+    x = None
+    for k in range(4):
+        term = t[:, k : k + 1] * w1_mi[k : k + 1, :]
+        x = term if x is None else x + term
+    return jnp.maximum(x + b1_mi[None, :], 0).astype(jnp.bfloat16)
+
+
+def _apply_stage_mix(acc, mix, out_ref):
+    """Optionally fold the cascade's stage mixing into the kernel epilogue.
+
+    mix=None writes the raw rotation-rounded accumulator (the original
+    contract).  mix=("inner", M) writes the INNER-stage result already
+    mixed and renormalized — clip(round(acc/(4M) + 127), 0, 255)/255 —
+    as bfloat16 (broadcast over the lane pad; consumers read lane 0), so
+    XLA's separate stage-mix + bf16-cast fusions over the (N, 16) f32
+    buffer disappear (~2.3 ms per 8x1080p YUV batch, r4 trace).
+    mix=("final", M) writes round(acc / M) in f32 (the last-stage mix).
+    The arithmetic is the exact op sequence of `srnets_predict_fast`, so
+    outputs stay bit-identical.
+    """
+    if mix is None:
+        out_ref[:] = acc
+        return
+    kind, m = mix
+    if kind == "inner":
+        mixed = jnp.clip(jnp.round(acc[:, :1] / (m * 4) + 127.0), 0, 255)
+        out_ref[:] = jnp.broadcast_to(
+            mixed / 255.0, acc.shape).astype(jnp.bfloat16)
+    else:
+        out_ref[:] = jnp.round(acc / m)
+
+
 def _plain_ensemble_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
-                           t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+                           mix, t_ref, w1, b1, hw, hb, w6, b6, out_ref):
     """Pass-major ensemble kernel for plain (mxu-arch) units.
 
     A plain unit's activations never widen, so the whole pass lives in
@@ -299,11 +345,7 @@ def _plain_ensemble_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
         for r in range(4):
             col = (mi * 4 + r) * 4
             t = t_ref[:, col : col + 4]
-            x = None
-            for k in range(4):
-                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
-                x = term if x is None else x + term
-            x = jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16)
+            x = _plain_head(t, w1[mi], b1[mi])
             for d in range(depth):
                 xk = jnp.dot(x, hw[d, mi],
                              preferred_element_type=jnp.float32)
@@ -317,11 +359,11 @@ def _plain_ensemble_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
                 .astype(jnp.float32)
             )
             acc = acc + jnp.round(o * 127.0)
-    out_ref[:] = acc
+    _apply_stage_mix(acc, mix, out_ref)
 
 
 def _plain_iv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
-                     t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+                     mix, t_ref, w1, b1, hw, hb, w6, b6, out_ref):
     """Layer-major variant of `_plain_ensemble_kernel`.
 
     Runs layer d of ALL 4*n_modes passes back-to-back so consecutive
@@ -336,12 +378,7 @@ def _plain_iv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
         for r in range(4):
             col = (mi * 4 + r) * 4
             t = t_ref[:, col : col + 4]
-            x = None
-            for k in range(4):
-                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
-                x = term if x is None else x + term
-            xs.append(
-                jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16))
+            xs.append(_plain_head(t, w1[mi], b1[mi]))
     for d in range(depth):
         for i in range(4 * n_modes):
             mi = i // 4
@@ -359,11 +396,11 @@ def _plain_iv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
             .astype(jnp.float32)
         )
         acc = acc + jnp.round(o * 127.0)
-    out_ref[:] = acc
+    _apply_stage_mix(acc, mix, out_ref)
 
 
 def _plain_rs_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
-                     t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+                     mix, t_ref, w1, b1, hw, hb, w6, b6, out_ref):
     """Rotation-row-stacked variant of `_plain_ensemble_kernel`.
 
     The 4 rotations of a mode share the SAME hidden weights (`hw[d, mi]`
@@ -382,12 +419,7 @@ def _plain_rs_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
         for r in range(4):
             col = (mi * 4 + r) * 4
             t = t_ref[:, col : col + 4]
-            x = None
-            for k in range(4):
-                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
-                x = term if x is None else x + term
-            xs.append(
-                jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16))
+            xs.append(_plain_head(t, w1[mi], b1[mi]))
         X = jnp.concatenate(xs, axis=0)                  # (4*tile, nf)
         for d in range(depth):
             Xk = jnp.dot(X, hw[d, mi], preferred_element_type=jnp.float32)
@@ -402,7 +434,7 @@ def _plain_rs_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
                 .astype(jnp.float32)
             )
             acc = acc + jnp.round(o * 127.0)
-    out_ref[:] = acc
+    _apply_stage_mix(acc, mix, out_ref)
 
 
 #: schedule for plain/mxu stacks: False = pass-major (dependent chains,
@@ -412,7 +444,7 @@ def _plain_rs_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
 PLAIN_INTERLEAVE = False
 
 def _plain_rsiv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
-                       t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+                       mix, t_ref, w1, b1, hw, hb, w6, b6, out_ref):
     """Rotation-stacked + mode-layer-major variant of the plain kernel.
 
     Like `_plain_rs_kernel` but the n_modes (4T, nf) chains advance
@@ -428,12 +460,7 @@ def _plain_rsiv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
         for r in range(4):
             col = (mi * 4 + r) * 4
             t = t_ref[:, col : col + 4]
-            x = None
-            for k in range(4):
-                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
-                x = term if x is None else x + term
-            xs.append(
-                jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16))
+            xs.append(_plain_head(t, w1[mi], b1[mi]))
         Xs.append(jnp.concatenate(xs, axis=0))          # (4*tile, nf)
     for d in range(depth):
         for mi in range(n_modes):
@@ -453,7 +480,7 @@ def _plain_rsiv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
                 .astype(jnp.float32)
             )
             acc = acc + jnp.round(o * 127.0)
-    out_ref[:] = acc
+    _apply_stage_mix(acc, mix, out_ref)
 
 
 def _plain_q_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
@@ -579,7 +606,7 @@ def _make_plain_ivg_kernel(G: int):
     bit-identical to pass-major (integer-valued f32 additions).
     """
 
-    def kern(nf, n_modes, out_pad, depth,
+    def kern(nf, n_modes, out_pad, depth, mix,
              t_ref, w1, b1, hw, hb, w6, b6, out_ref):
         acc = jnp.zeros((t_ref.shape[0], out_pad), jnp.float32)
         passes = [(mi, r) for mi in range(n_modes) for r in range(4)]
@@ -589,12 +616,7 @@ def _make_plain_ivg_kernel(G: int):
             for mi, r in grp:
                 col = (mi * 4 + r) * 4
                 t = t_ref[:, col : col + 4]
-                x = None
-                for k in range(4):
-                    term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
-                    x = term if x is None else x + term
-                xs.append(
-                    jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16))
+                xs.append(_plain_head(t, w1[mi], b1[mi]))
             for d in range(depth):
                 for i, (mi, _) in enumerate(grp):
                     xk = jnp.dot(xs[i], hw[d, mi],
@@ -610,7 +632,7 @@ def _make_plain_ivg_kernel(G: int):
                     .astype(jnp.float32)
                 )
                 acc = acc + jnp.round(o * 127.0)
-        out_ref[:] = acc
+        _apply_stage_mix(acc, mix, out_ref)
 
     return kern
 
@@ -640,9 +662,10 @@ def _plain_kernel_fn():
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_modes", "out_pad", "interpret"))
+                   static_argnames=("n_modes", "out_pad", "interpret", "mix"))
 def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
-                         out_pad: int = 16, interpret: bool = False):
+                         out_pad: int = 16, interpret: bool = False,
+                         mix=None):
     """(N, 16*M) bf16 rotation/mode tap matrix -> (N, out_pad) f32 ensemble.
 
     Output = sum over modes and rotations of round(127 * unit(taps)), with
@@ -653,6 +676,12 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     kernel) or plain/mxu units (full-lane plain kernel, detected from the
     stacked "hw" key), or `pair_stage_params` output (rotation-pair
     block-diagonal kernel, bit-identical to pass-major).
+
+    `mix` (plain stacks only): fold the cascade stage mixing into the
+    kernel epilogue — ("inner", M) emits the mixed+renormalized bf16
+    inner-stage value (lane 0), ("final", M) emits round(acc/M) f32; see
+    `_apply_stage_mix`.  Deletes XLA's separate stage-mix/cast fusions
+    (~2.3 ms per 8x1080p YUV batch, r4 trace); bit-identical.
     """
     nf = stacked["w1"].shape[2]
     n = taps.shape[0]
@@ -685,7 +714,7 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     elif "hw" in stacked:
         depth = stacked["hw"].shape[0]
         kern = functools.partial(_plain_kernel_fn(), nf, n_modes, out_pad,
-                                 depth)
+                                 depth, mix)
         scratch = []
         weights = (stacked["w1"], stacked["b1"], stacked["hw"],
                    stacked["hb"], stacked["w6"], stacked["b6"])
@@ -701,10 +730,14 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
         weights = (stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
                    stacked["w3"], stacked["b3"], stacked["w4"], stacked["b4"],
                    stacked["w5"], stacked["b5"], stacked["w6"], stacked["b6"])
+    if mix is not None and "hw" not in stacked:
+        raise ValueError("mix is only supported for plain (mxu-arch) stacks")
+    out_dtype = (jnp.bfloat16 if mix is not None and mix[0] == "inner"
+                 else jnp.float32)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), out_dtype),
         grid=(n_pad // ENSEMBLE_TILE,),
         in_specs=[
             pl.BlockSpec((ENSEMBLE_TILE, width), lambda i: (i, 0),

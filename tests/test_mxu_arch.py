@@ -142,6 +142,43 @@ def test_mxu_rotation_stacked_kernel_bit_matches_pass_major():
         assert np.array_equal(got, want), sched
 
 
+def test_mxu_inkernel_mix_bit_matches_xla_mix():
+    """The in-kernel stage-mix epilogue (mix=("inner"/"final", M)) equals
+    the XLA-side mixing it replaced, bitwise."""
+    from mulut_tpu.models.srnet import _ensemble_taps
+    from mulut_tpu.ops.unit_kernel import stage_ensemble_apply
+
+    rng = np.random.default_rng(10)
+    params = init_srnets(jax.random.PRNGKey(10), nf=16, scale=4,
+                         modes="sdy", stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    M, (B, C, H, W) = 3, x.shape
+
+    # reference: raw kernel output + the XLA-side mix ops
+    xb = x.astype(jnp.bfloat16)
+    acc1 = stage_ensemble_apply(stacked[0], _ensemble_taps(xb, "sdy"),
+                                n_modes=M, interpret=True)
+    mixed = jnp.clip(jnp.round(acc1[:, 0] / (M * 4) + 127.0), 0, 255)
+    x1_want = (mixed.reshape(B, C, H, W) / 255.0).astype(jnp.bfloat16)
+    acc2 = stage_ensemble_apply(stacked[1], _ensemble_taps(x1_want, "sdy"),
+                                n_modes=M, interpret=True)
+    out_want = np.asarray(jnp.round(acc2[:, :16] / M))
+
+    # in-kernel mix epilogues
+    x1_got = stage_ensemble_apply(stacked[0], _ensemble_taps(xb, "sdy"),
+                                  n_modes=M, interpret=True,
+                                  mix=("inner", M))[:, 0]
+    x1_got = x1_got.reshape(B, C, H, W)
+    assert x1_got.dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(x1_got, np.float32),
+                          np.asarray(x1_want, np.float32))
+    out_got = np.asarray(stage_ensemble_apply(
+        stacked[1], _ensemble_taps(x1_got, "sdy"), n_modes=M,
+        interpret=True, mix=("final", M))[:, :16])
+    assert np.array_equal(out_got, out_want)
+
+
 def test_mxu_group_interleaved_kernels_bit_match_pass_major():
     """Group-of-G interleave schedules == pass-major, bitwise (the G live
     chains advance layer-major but accumulate in (mode, rotation) order)."""
