@@ -221,7 +221,8 @@ def _ensemble_taps(x, modes: str):
 
 
 def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
-                        scale: int, interpret: bool = False):
+                        scale: int, interpret: bool = False,
+                        final_clip: bool = False):
     """Fast (bf16) deployment forward via the Pallas stage-ensemble kernel.
 
     The whole mode x rotation ensemble of each stage — 4*len(modes) tap-MLP
@@ -251,9 +252,14 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
         taps = _ensemble_taps(x, modes)
         if plain:
             if stage == stages:
+                # final_clip folds the consumer's clip(round(.), 0, 255)
+                # into the kernel epilogue and emits bf16 (exact for
+                # integers <= 255) — for pipelines that quantize to u8
+                # anyway (the fused YUV path); final pixels identical.
                 out = stage_ensemble_apply(
                     stacked_stages[s], taps, n_modes=M,
-                    interpret=interpret, mix=("final", M),
+                    interpret=interpret,
+                    mix=("final_u8" if final_clip else "final", M),
                 )[:, : upscale * upscale]
                 out = out.reshape(B, C, H, W, upscale, upscale)
                 out = jnp.moveaxis(out, -2, -3)

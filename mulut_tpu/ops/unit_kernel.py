@@ -224,8 +224,13 @@ def _pair_ensemble_kernel(nf: int, n_modes: int, out_pad: int,
                 r = 2 * p + jr
                 col = (mi * 4 + r) * 4
                 t = t_ref[:, col: col + 4]
-                scr[p][:, nf * jr: nf * (jr + 1)] = _plain_head(
-                    t, w1[mi], b1[mi])
+                # VPU head, matching _ensemble_kernel (see note there)
+                x = None
+                for k in range(4):
+                    term = t[:, k: k + 1] * w1[mi, k: k + 1, :]
+                    x = term if x is None else x + term
+                scr[p][:, nf * jr: nf * (jr + 1)] = jnp.maximum(
+                    x + b1[mi][None, :], 0).astype(jnp.bfloat16)
         # layers 2..5: block-diagonal pair matmuls, the mode's two pairs
         # interleaved layer-major so consecutive matmuls are independent
         for k, (w, b) in enumerate(
@@ -257,7 +262,17 @@ def _ensemble_kernel(nf: int, n_modes: int, out_pad: int,
         for r in range(4):
             col = (mi * 4 + r) * 4
             t = t_ref[:, col : col + 4]
-            x = _plain_head(t, w1[mi], b1[mi])
+            # dense kernels keep the VPU head: with the concat scratch
+            # live, the MXU head's f32 dot raises the kernel's VMEM
+            # stack past the 16 MB scoped budget (measured: 19.17M,
+            # compile OOM) — and the dense path is not the deployment
+            # flagship.  See _plain_head/PLAIN_HEAD for the plain-arch
+            # story.
+            x = None
+            for k in range(4):
+                term = t[:, k : k + 1] * w1[mi, k : k + 1, :]
+                x = term if x is None else x + term
+            x = jnp.maximum(x + b1[mi][None, :], 0).astype(jnp.bfloat16)
             cat[:, 0:nf] = x
             for li, (w, b) in enumerate(
                 ((w2, b2), (w3, b3), (w4, b4), (w5, b5)), start=1
@@ -276,9 +291,11 @@ def _ensemble_kernel(nf: int, n_modes: int, out_pad: int,
     out_ref[:] = acc
 
 
-#: Head-layer implementation for the bf16 ENSEMBLE kernels (plain/mxu,
-#: dense pass-major and pair alike — the quantized kernels keep their own
-#: calibrated heads): "vpu" (4 broadcast
+#: Head-layer implementation for the PLAIN (mxu-arch) ensemble kernels
+#: (the dense pass-major/pair kernels keep the VPU head — their concat
+#: scratch plus an f32 head dot overflows scoped VMEM, measured compile
+#: OOM at 19.17M/16M; the quantized kernels keep their own calibrated
+#: heads): "vpu" (4 broadcast
 #: bf16 FMAs — the original form; a K=4 matmul is FLOP-inefficient on the
 #: MXU) or "mxu" (one (T, 4) x (4, nf) dot).  The r4 trace arithmetic
 #: says the VPU head costs ~0.5 us/pass at T=1024 — ~half the d2 pass —
@@ -326,6 +343,14 @@ def _apply_stage_mix(acc, mix, out_ref):
         mixed = jnp.clip(jnp.round(acc[:, :1] / (m * 4) + 127.0), 0, 255)
         out_ref[:] = jnp.broadcast_to(
             mixed / 255.0, acc.shape).astype(jnp.bfloat16)
+    elif kind == "final_u8":
+        # final mix + the consumer's clip(round(.), 0, 255) folded in,
+        # emitted bf16 (integers <= 255 are exact in bf16): halves the
+        # bytes of every downstream interleave copy and deletes the XLA
+        # round/clamp fusion (~3 ms per 8x1080p YUV batch, r4 trace).
+        # Identical final pixels: the downstream u8 cast clips anyway.
+        out_ref[:] = jnp.clip(
+            jnp.round(acc / m), 0, 255).astype(jnp.bfloat16)
     else:
         out_ref[:] = jnp.round(acc / m)
 
@@ -687,7 +712,16 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
     n = taps.shape[0]
     n_pad = -(-n // ENSEMBLE_TILE) * ENSEMBLE_TILE
     if n_pad != n:
-        taps = jnp.pad(taps, [(0, n_pad - n), (0, 0)])
+        # Mosaic masks the ragged last block's loads/stores itself, so a
+        # non-divisible N needs NO explicit pad — the jnp.pad here
+        # materialized a full copy of the ~100 MB tap matrix (2 x 0.8 ms
+        # per 8x1080p YUV batch in the r4 trace).  Junk rows of the last
+        # block produce junk outputs that are sliced off below.
+        # Interpret mode (CPU tests) lacks the masking — keep the pad.
+        if interpret:
+            taps = jnp.pad(taps, [(0, n_pad - n), (0, 0)])
+        else:
+            n_pad = n
     width = 16 * n_modes
     if "hwq" in stacked:
         depth = stacked["hwq"].shape[0]
@@ -732,13 +766,14 @@ def stage_ensemble_apply(stacked: dict, taps, *, n_modes: int,
                    stacked["w5"], stacked["b5"], stacked["w6"], stacked["b6"])
     if mix is not None and "hw" not in stacked:
         raise ValueError("mix is only supported for plain (mxu-arch) stacks")
-    out_dtype = (jnp.bfloat16 if mix is not None and mix[0] == "inner"
+    out_dtype = (jnp.bfloat16
+                 if mix is not None and mix[0] in ("inner", "final_u8")
                  else jnp.float32)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_pad, out_pad), out_dtype),
-        grid=(n_pad // ENSEMBLE_TILE,),
+        grid=(-(-n_pad // ENSEMBLE_TILE),),
         in_specs=[
             pl.BlockSpec((ENSEMBLE_TILE, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)

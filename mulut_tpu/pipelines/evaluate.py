@@ -507,6 +507,20 @@ class NetEvaluator:
                 ).astype(jnp.float32)
 
             _run_tiled = lambda x, axis=2: _run(x)  # noqa: E731
+
+            if any("hw" in st for st in stacked) and not quant:
+                # plain (mxu-arch) stacks: a dedicated luma runner for
+                # the fused YUV pipeline with the clip(round(.), 0, 255)
+                # folded into the kernel epilogue (final_u8 mix) and a
+                # bf16 result — halves the interleave bytes; final
+                # pixels identical (the u8 quantizer clips anyway)
+                @jax.jit
+                def _luma_clip(x):
+                    return srnets_predict_fast(
+                        stacked, x, modes=modes, stages=stages,
+                        scale=scale, final_clip=True)
+
+                self._luma_clip_run = _luma_clip
         else:
             @jax.jit
             def _run(x):
@@ -593,8 +607,11 @@ class NetEvaluator:
 
         T = jnp.asarray(_YCBCR_T, jnp.float32)
         O = jnp.asarray(_YCBCR_O, jnp.float32)
-        Ti = jnp.asarray(np.linalg.inv(_YCBCR_T), jnp.float32)
+        Ti = np.linalg.inv(_YCBCR_T)  # host constants for the plane FMAs
         run, run_tiled = self._run, self._run_tiled
+        luma_run = run
+        if getattr(self, "_luma_clip_run", None) is not None:
+            luma_run = self._luma_clip_run
         scale, threshold = self.scale, self.TILE_THRESHOLD
         min_dim = self.BAND + 8
 
@@ -608,15 +625,31 @@ class NetEvaluator:
             # static-shape band selection, mirroring `upscale`
             if h * w > threshold and max(h, w) >= min_dim:
                 y_sr = run_tiled(x, axis=2 if h >= min_dim else 3)
+                y_sr = jnp.clip(jnp.round(y_sr[:, 0]), 0, 255)
             else:
-                y_sr = run(x)
-            y_sr = jnp.clip(jnp.round(y_sr[:, 0]), 0, 255)
+                # the dedicated luma runner clips+rounds in the kernel
+                # epilogue (final_u8 mix) where available
+                y_sr = luma_run(x)[:, 0].astype(jnp.float32)
+                if luma_run is run:
+                    y_sr = jnp.clip(jnp.round(y_sr), 0, 255)
             cbcr = jnp.clip(jnp.round(ycc[..., 1:]), 0, 255)
             cbcr_sr = bicubic_upscale(jnp.moveaxis(cbcr, -1, 1), scale)
-            ycc_sr = jnp.stack([y_sr, cbcr_sr[:, 0], cbcr_sr[:, 1]], axis=-1)
-            rgb_sr = jnp.einsum("...c,oc->...o", ycc_sr - O, Ti,
-                                precision=jax.lax.Precision.HIGHEST)
-            return jnp.clip(jnp.round(rgb_sr), 0, 255).astype(jnp.uint8)
+            cb, cr = cbcr_sr[:, 0], cbcr_sr[:, 1]
+            # YCbCr -> RGB as per-output-channel plane FMAs: stacking the
+            # three (B, Hs, Ws) planes into an f32 (..., 3) tensor before
+            # an einsum costs a 1.5 ms relayout copy of the luma plane at
+            # 8x1080p (r4 trace); the FMA form fuses per channel with no
+            # stacked f32 intermediate.  Same f32 products/sums order as
+            # the einsum's K=3 contraction.
+            chans = []
+            for o in range(3):
+                plane = (y_sr * np.float32(Ti[o, 0])
+                         + cb * np.float32(Ti[o, 1])
+                         + cr * np.float32(Ti[o, 2])
+                         + np.float32(-(Ti[o] @ _YCBCR_O)))
+                chans.append(
+                    jnp.clip(jnp.round(plane), 0, 255).astype(jnp.uint8))
+            return jnp.stack(chans, axis=-1)
 
         self._yuv_run = _yuv
 
