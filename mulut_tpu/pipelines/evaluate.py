@@ -441,9 +441,16 @@ class NetEvaluator:
     BAND = 16
 
     def __init__(self, params: dict, *, stages: int, modes: str, scale: int,
-                 fast: bool = False, quant: bool | str = False):
+                 fast: bool = False, quant: bool | str = False,
+                 n_devices: int = 1):
         """fast=True runs the tap-MLPs in bfloat16 with single-pass MXU
         matmuls — ~0.01 dB below the f32 path, several times faster.
+
+        n_devices > 1 shards `upscale_batch` / `upscale_yuv_batch` over a
+        1-D device mesh via shard_map (the net forward is embarrassingly
+        batch-parallel — no collectives; the Pallas kernels run
+        per-shard).  The DataParallel surface of the reference, extended
+        to net-mode deployment (ref: sr/1_train_model.py:141-142).
 
         quant (implies fast) additionally quantizes plain (mxu-arch)
         units to W8A8 with grid-calibrated static activation scales
@@ -460,6 +467,12 @@ class NetEvaluator:
         self.scale = scale
         fast = fast or quant
         self.fast = fast
+        self.n_devices = max(1, min(n_devices, jax.device_count()))
+        self.mesh = None
+        if self.n_devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(self.n_devices)
         use_kernel = fast and jax.default_backend() == "tpu"
         if quant and not use_kernel:
             raise ValueError(
@@ -576,11 +589,48 @@ class NetEvaluator:
         out = out[0].transpose(1, 2, 0)
         return np.round(np.clip(out, 0, 255)).astype(np.uint8)
 
+    def _shard_batched(self, fn):
+        """shard_map a batched forward over the 1-D mesh (leading axis).
+
+        The forward has no cross-batch communication, so each device runs
+        its local slice (Pallas kernels included); jit assembles the
+        sharded output.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+
+            kw = {"check_vma": False}  # jax.shard_map's renamed check flag
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+            kw = {"check_rep": False}
+
+        return jax.jit(shard_map(
+            fn, mesh=self.mesh, in_specs=P("data"), out_specs=P("data"),
+            **kw,
+        ))
+
+    def _pad_to_devices(self, arr: np.ndarray):
+        """Pad the batch to a device multiple by repeating the last item
+        (replicas are cropped off — bit-identical)."""
+        pad = -arr.shape[0] % self.n_devices
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
+        return arr
+
+    _run_sharded = None
+
     def upscale_batch(self, imgs_lr: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, H*scale, W*scale, 3) uint8.
 
         Batched same-shape throughput path (channels and batch both ride
-        the leading axes of the tap matrix; one dispatch)."""
+        the leading axes of the tap matrix; one dispatch) — sharded over
+        the mesh when n_devices > 1."""
+        n = imgs_lr.shape[0]
+        if self.mesh is not None:
+            imgs_lr = self._pad_to_devices(imgs_lr)
         x = jnp.asarray(
             imgs_lr.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
         )
@@ -589,9 +639,13 @@ class NetEvaluator:
         if h * w > self.TILE_THRESHOLD and max(h, w) >= min_dim:
             out = np.asarray(self._run_tiled(x, axis=2 if h >= min_dim
                                              else 3))
+        elif self.mesh is not None:
+            if self._run_sharded is None:
+                self._run_sharded = self._shard_batched(self._run)
+            out = np.asarray(self._run_sharded(x))
         else:
             out = np.asarray(self._run(x))
-        out = out.transpose(0, 2, 3, 1)
+        out = out[:n].transpose(0, 2, 3, 1)
         return np.round(np.clip(out, 0, 255)).astype(np.uint8)
 
     _yuv_run = None
@@ -653,12 +707,21 @@ class NetEvaluator:
 
         self._yuv_run = _yuv
 
+    _yuv_sharded = None
+
     def upscale_yuv_batch(self, imgs_rgb: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 RGB -> (B, H*s, W*s, 3) uint8 — the device
-        YUV pipeline over the MXU path, one dispatch."""
+        YUV pipeline over the MXU path, one dispatch (batch-sharded over
+        the mesh when n_devices > 1)."""
         if self._yuv_run is None:
             self._build_yuv()
-        return np.asarray(self._yuv_run(jnp.asarray(imgs_rgb)))
+        if self.mesh is None:
+            return np.asarray(self._yuv_run(jnp.asarray(imgs_rgb)))
+        n = imgs_rgb.shape[0]
+        if self._yuv_sharded is None:
+            self._yuv_sharded = self._shard_batched(self._yuv_run)
+        padded = self._pad_to_devices(imgs_rgb)
+        return np.asarray(self._yuv_sharded(jnp.asarray(padded)))[:n]
 
     def upscale_yuv(self, img_rgb: np.ndarray) -> np.ndarray:
         """(H, W, 3) uint8 RGB -> (H*s, W*s, 3) uint8 (see

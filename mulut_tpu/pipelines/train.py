@@ -63,15 +63,19 @@ def make_train_step(optimizer, *, modes: str, stages: int, scale: int,
     """One jitted training step.
 
     precision='bf16' is the mixed-precision mode for the mxu arch
-    (VERDICT r3 #7): master params, gradients and Adam state stay f32;
-    the cascade forward/backward run in bfloat16 with single-pass MXU
-    matmuls — the f32-HIGHEST path pays 3-pass matmul emulation, which
-    is where the mxu units' 2.6-3.2x train-time premium over dense came
-    from (PERF.md).  The cast sits inside loss_fn, so grads flow back
-    through it to the f32 masters (cast-of-grad, standard mixed
-    precision); the loss itself is computed in f32.
+    (VERDICT r3 #7): every tensor (params, activations, STE rounds,
+    loss, grads, Adam state) stays float32 — only the MXU matmuls run at
+    DEFAULT precision (single-pass bf16 inputs) instead of HIGHEST
+    (3-pass f32-accurate emulation), which is where the mxu units'
+    train-time premium over dense comes from.  An earlier all-bf16-cast
+    scheme was chip-measured NEGATIVE on both axes (42.7 ms/iter vs
+    f32's 29.9 AND -3.9 dB synthetic val — bf16 activations interact
+    badly with the 127-scaled STE rounds); keeping elementwise math f32
+    and trimming only matmul input mantissas is the surgical form.
     """
-    bf16 = precision == "bf16"
+    fast_mm = precision == "bf16"
+    mm_precision = (jax.lax.Precision.DEFAULT if fast_mm
+                    else jax.lax.Precision.HIGHEST)
 
     @jax.jit
     def step(params, opt_state, im, lb):
@@ -80,17 +84,9 @@ def make_train_step(optimizer, *, modes: str, stages: int, scale: int,
         lb = lb.astype(jnp.float32) / 255.0
 
         def loss_fn(p):
-            if bf16:
-                p = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16), p)
-                pred = srnets_predict(
-                    p, im.astype(jnp.bfloat16), modes=modes, stages=stages,
-                    scale=scale, phase="train",
-                    precision=jax.lax.Precision.DEFAULT,
-                ).astype(jnp.float32)
-            else:
-                pred = srnets_predict(p, im, modes=modes, stages=stages,
-                                      scale=scale, phase="train")
+            pred = srnets_predict(p, im, modes=modes, stages=stages,
+                                  scale=scale, phase="train",
+                                  precision=mm_precision)
             return jnp.mean((pred - lb) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

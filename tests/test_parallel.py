@@ -128,3 +128,27 @@ def test_row_sharded_cascade_expanded_bit_exact(mesh, rng):
         scale=2, expanded=True,
     ))
     np.testing.assert_array_equal(want, got)
+
+
+def test_net_evaluator_batch_sharded_matches_single_device(mesh):
+    """NetEvaluator(n_devices=8): upscale_batch and upscale_yuv_batch
+    shard the batch over the mesh via shard_map (no collectives) and
+    must equal the single-device outputs byte-for-byte — including a
+    batch that does not divide the mesh (padded with replicas)."""
+    from mulut_tpu.models.srnet import init_srnets
+    from mulut_tpu.pipelines.evaluate import NetEvaluator
+
+    rng = np.random.default_rng(11)
+    params = init_srnets(jax.random.PRNGKey(11), nf=8, scale=2, modes="s",
+                         stages=2, arch="mxu")
+    imgs = rng.integers(0, 256, (5, 12, 14, 3), dtype=np.uint8)  # 5 % 8 != 0
+    ev1 = NetEvaluator(params, stages=2, modes="s", scale=2)
+    ev8 = NetEvaluator(params, stages=2, modes="s", scale=2, n_devices=8)
+    assert ev8.mesh is not None
+    out1 = ev1.upscale_batch(imgs)
+    out8 = ev8.upscale_batch(imgs)
+    assert out8.shape == (5, 24, 28, 3)
+    assert np.array_equal(out1, out8)
+    y1 = ev1.upscale_yuv_batch(imgs)
+    y8 = ev8.upscale_yuv_batch(imgs)
+    assert np.array_equal(y1, y8)
