@@ -210,10 +210,28 @@ def stack_srnets_for_fast(params: dict, *, modes: str, stages: int,
     return stacks
 
 
+#: tap-matrix construction.  "stack" (default): stack+moveaxis — XLA
+#: emits the tap fusion column-major and pays 2 x 0.58 ms of transpose
+#: copies per 8x1080p YUV batch (r4 trace), but that is the CHEAP form.
+#: "concat" (measured NEGATIVE, kept as the record): concatenating
+#: twelve (N, 4) pieces along the minor axis builds the row-major layout
+#: directly but hits the 128-lane padding trap (each sub-128-lane piece
+#: materializes lane-padded, same mechanism as r2's corner_lams lesson)
+#: — 76.3 vs 29.5 ms per fused-YUV mxu-d2 batch, 2.6x SLOWER with
+#: identical outputs.  Do not re-try.
+TAPS_BUILD = "stack"
+
+
 def _ensemble_taps(x, modes: str):
     """(B, C, H, W) -> (N, 16*M) bf16 tap matrix, column blocks ordered
     [mode][rotation][tap]."""
     N = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+    if TAPS_BUILD == "concat":
+        pieces = []
+        for m in modes:
+            rt = _rotation_taps_batch(x, m)       # (4, B, C, h, w, 4)
+            pieces += [rt[r].reshape(N, 4) for r in range(4)]
+        return jnp.concatenate(pieces, axis=1).astype(jnp.bfloat16)
     per_mode = [_rotation_taps_batch(x, m).reshape(4, N, 4) for m in modes]
     t = jnp.stack(per_mode, axis=0)               # (M, 4, N, 4)
     t = jnp.moveaxis(t, 2, 0)                     # (N, M, 4, 4)
