@@ -662,6 +662,70 @@ def _make_plain_ivg_kernel(G: int):
     return kern
 
 
+def _plain_t_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                    mix, t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+    """FEATURE-major (transposed) plain kernel: taps (48, T), activations
+    (nf, T) with sites in LANES, head out (out_pad, T).
+
+    Wins over the site-major form on two counts (r4, measured standalone
+    11.0 vs 14.3 ms per stage at the bench shape, bit-exact): the (48, N)
+    tap matrix is built by stacking 48 full rows — XLA emits it row-major
+    with NO {0,1}->{1,0} transpose copies — and the output head
+    (out_pad, nf) x (nf, T) costs out_pad/8 x T/128 MXU-cycles instead of
+    T/8 x 1 (8x cheaper at out_pad=16).  Weights arrive pre-transposed
+    (`transpose_plain_stack`).  Biases must be cast to f32 BEFORE the
+    [:, None] minor-dim insert (Mosaic cannot insert a minor dim on
+    16-bit types).
+    """
+    acc = jnp.zeros((out_pad, t_ref.shape[1]), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[col : col + 4, :]
+            xk = jnp.dot(w1[mi], t, preferred_element_type=jnp.float32)
+            xk = jnp.maximum(xk + b1[mi].astype(jnp.float32)[:, None], 0)
+            xa = xk.astype(jnp.bfloat16)
+            for d in range(depth):
+                xk = jnp.dot(hw[d, mi], xa,
+                             preferred_element_type=jnp.float32)
+                xk = jnp.maximum(
+                    xk + hb[d, mi].astype(jnp.float32)[:, None], 0)
+                xa = xk.astype(jnp.bfloat16)
+            o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :], xa,
+                        preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, out_pad * r : out_pad * (r + 1)]
+                .astype(jnp.float32)[:, None])
+            acc = acc + jnp.round(o * 127.0)
+    if mix is None:
+        out_ref[:] = acc
+        return
+    kind, m = mix
+    if kind == "inner":
+        mixed = jnp.clip(jnp.round(acc[:1, :] / (m * 4) + 127.0), 0, 255)
+        out_ref[:] = jnp.broadcast_to(
+            mixed / 255.0, acc.shape).astype(jnp.bfloat16)
+    elif kind == "final_u8":
+        out_ref[:] = jnp.clip(
+            jnp.round(acc / m), 0, 255).astype(jnp.bfloat16)
+    else:
+        out_ref[:] = jnp.round(acc / m)
+
+
+def transpose_plain_stack(stacked: dict) -> dict:
+    """Site-major plain stack -> feature-major (transposed) weight layout
+    for `_plain_t_kernel`.  Pure transposes of the small weight arrays."""
+    assert "hw" in stacked, "transpose_plain_stack expects a plain stack"
+    return {
+        "w1t": jnp.transpose(stacked["w1"], (0, 2, 1)),   # (M, nf, 4)
+        "b1": stacked["b1"],
+        "hwt": jnp.transpose(stacked["hw"], (0, 1, 3, 2)),
+        "hb": stacked["hb"],
+        "w6t": jnp.transpose(stacked["w6"], (0, 2, 1)),   # (M, 4*op, nf)
+        "b6": stacked["b6"],
+    }
+
+
 #: "pass" | "iv" | "ivg{2,3,4,6}" | "rs" | "rsiv" — pass-major,
 #: layer-major interleave, group-of-G interleave, rotation-row-stacked,
 #: or rotation-stacked + mode-layer-major (see the respective kernels).
@@ -684,6 +748,49 @@ def _plain_kernel_fn():
     if PLAIN_INTERLEAVE:
         return _plain_iv_kernel
     return _PLAIN_KERNELS[PLAIN_SCHEDULE]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_modes", "out_pad", "interpret", "mix"))
+def stage_ensemble_apply_t(stacked_t: dict, taps_t, *, n_modes: int,
+                           out_pad: int = 16, interpret: bool = False,
+                           mix=None):
+    """Feature-major twin of `stage_ensemble_apply` (plain stacks only).
+
+    taps_t is the (16*M, N) bf16 tap matrix (sites in lanes); stacked_t
+    comes from `transpose_plain_stack`.  Returns (out_pad, N) — row
+    sy*scale+sx per output lane, sites in lanes.  Same mix epilogues.
+    """
+    nf = stacked_t["w1t"].shape[1]
+    n = taps_t.shape[1]
+    n_pad = -(-n // ENSEMBLE_TILE) * ENSEMBLE_TILE
+    if n_pad != n:
+        if interpret:  # no ragged-block masking in the interpreter
+            taps_t = jnp.pad(taps_t, [(0, 0), (0, n_pad - n)])
+        else:
+            n_pad = n
+    depth = stacked_t["hwt"].shape[0]
+    kern = functools.partial(_plain_t_kernel, nf, n_modes, out_pad, depth,
+                             mix)
+    weights = (stacked_t["w1t"], stacked_t["b1"], stacked_t["hwt"],
+               stacked_t["hb"], stacked_t["w6t"], stacked_t["b6"])
+    out_dtype = (jnp.bfloat16
+                 if mix is not None and mix[0] in ("inner", "final_u8")
+                 else jnp.float32)
+    width = 16 * n_modes
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((out_pad, n_pad), out_dtype),
+        grid=(-(-n_pad // ENSEMBLE_TILE),),
+        in_specs=[
+            pl.BlockSpec((width, ENSEMBLE_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec((out_pad, ENSEMBLE_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(taps_t, *weights)
+    return out[:, :n]
 
 
 @functools.partial(jax.jit,

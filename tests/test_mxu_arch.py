@@ -101,6 +101,9 @@ def test_mxu_interleaved_kernel_bit_matches_pass_major():
                          stages=2, arch="mxu")
     stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
     x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    import mulut_tpu.models.srnet as sn
+
+    sn.PLAIN_LAYOUT = "site"  # the schedule variants are site-major kernels
     want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy", stages=2,
                                           scale=4, interpret=True))
     uk.PLAIN_INTERLEAVE = True
@@ -111,6 +114,7 @@ def test_mxu_interleaved_kernel_bit_matches_pass_major():
     finally:
         uk.PLAIN_INTERLEAVE = False
         uk.stage_ensemble_apply.clear_cache()
+        sn.PLAIN_LAYOUT = "feature"
     assert np.array_equal(got, want)
 
 
@@ -128,8 +132,15 @@ def test_mxu_rotation_stacked_kernel_bit_matches_pass_major():
                          stages=2, arch="mxu")
     stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
     x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
-    want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy", stages=2,
-                                          scale=4, interpret=True))
+    import mulut_tpu.models.srnet as sn
+
+    sn.PLAIN_LAYOUT = "site"
+    try:
+        want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy",
+                                              stages=2, scale=4,
+                                              interpret=True))
+    finally:
+        pass
     for sched in ("rs", "rsiv"):
         uk.PLAIN_SCHEDULE = sched
         uk.stage_ensemble_apply.clear_cache()  # flag is not a jit key
@@ -189,6 +200,9 @@ def test_mxu_group_interleaved_kernels_bit_match_pass_major():
                          stages=2, arch="mxu")
     stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
     x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    import mulut_tpu.models.srnet as sn
+
+    sn.PLAIN_LAYOUT = "site"
     want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy", stages=2,
                                           scale=4, interpret=True))
     for sched in ("ivg2", "ivg3", "ivg4", "ivg6"):
@@ -201,6 +215,7 @@ def test_mxu_group_interleaved_kernels_bit_match_pass_major():
             uk.PLAIN_SCHEDULE = "pass"
             uk.stage_ensemble_apply.clear_cache()
         assert np.array_equal(got, want), sched
+    sn.PLAIN_LAYOUT = "feature"
 
 
 def test_mxu_paired_stacking_rejected():
