@@ -676,16 +676,22 @@ class NetEvaluator:
                              precision=jax.lax.Precision.HIGHEST) + O
             y = jnp.clip(jnp.round(ycc[..., 0]), 0, 255)
             x = y[:, None] / 255.0
-            # static-shape band selection, mirroring `upscale`
-            if h * w > threshold and max(h, w) >= min_dim:
+            if luma_run is not run:
+                # the dedicated luma runner (plain-arch Pallas path)
+                # clips+rounds in the kernel epilogue (final_u8 mix) and
+                # emits bf16 — half the interleave bytes; the kernel
+                # path needs no band tiling at any size, so it serves
+                # every shape (the threshold branch below routed the
+                # bench shape through the f32 'final' mix and cost
+                # ~2 ms/batch of f32 copies + an XLA clamp, r4 trace)
+                y_sr = luma_run(x)[:, 0].astype(jnp.float32)
+            elif h * w > threshold and max(h, w) >= min_dim:
+                # static-shape band selection, mirroring `upscale`
                 y_sr = run_tiled(x, axis=2 if h >= min_dim else 3)
                 y_sr = jnp.clip(jnp.round(y_sr[:, 0]), 0, 255)
             else:
-                # the dedicated luma runner clips+rounds in the kernel
-                # epilogue (final_u8 mix) where available
-                y_sr = luma_run(x)[:, 0].astype(jnp.float32)
-                if luma_run is run:
-                    y_sr = jnp.clip(jnp.round(y_sr), 0, 255)
+                y_sr = run(x)[:, 0]
+                y_sr = jnp.clip(jnp.round(y_sr), 0, 255)
             cbcr = jnp.clip(jnp.round(ycc[..., 1:]), 0, 255)
             cbcr_sr = bicubic_upscale(jnp.moveaxis(cbcr, -1, 1), scale)
             cb, cr = cbcr_sr[:, 0], cbcr_sr[:, 1]
