@@ -24,6 +24,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 2048
 ENSEMBLE_TILE = 1024
+#: tile for the FEATURE-major (transposed) plain kernel.  Under the
+#: (nf, T) activation layout bigger tiles finally amortize per-matmul
+#: overhead (the site-major sweeps were flat/negative): chip ladder at
+#: the bench shape (fused YUV) — T=512: 38.3 ms, 1024: 26.5, 2048: 23.5,
+#: **4096: 22.5**, 8192: 25.3, 16384: 24.7 (d3 same ordering).  The
+#: site kernels OOM scoped VMEM at 4096; the transposed activations are
+#: only nf x T bf16 = 1 MB.
+ENSEMBLE_TILE_T = 4096
 
 
 def _kernel(nf: int,
@@ -763,7 +771,8 @@ def stage_ensemble_apply_t(stacked_t: dict, taps_t, *, n_modes: int,
     """
     nf = stacked_t["w1t"].shape[1]
     n = taps_t.shape[1]
-    n_pad = -(-n // ENSEMBLE_TILE) * ENSEMBLE_TILE
+    tile = ENSEMBLE_TILE_T
+    n_pad = -(-n // tile) * tile
     if n_pad != n:
         if interpret:  # no ragged-block masking in the interpreter
             taps_t = jnp.pad(taps_t, [(0, 0), (0, n_pad - n)])
@@ -781,12 +790,12 @@ def stage_ensemble_apply_t(stacked_t: dict, taps_t, *, n_modes: int,
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((out_pad, n_pad), out_dtype),
-        grid=(-(-n_pad // ENSEMBLE_TILE),),
+        grid=(-(-n_pad // tile),),
         in_specs=[
-            pl.BlockSpec((width, ENSEMBLE_TILE), lambda i: (0, i),
+            pl.BlockSpec((width, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
-        out_specs=pl.BlockSpec((out_pad, ENSEMBLE_TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((out_pad, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(taps_t, *weights)
