@@ -30,7 +30,9 @@ ENSEMBLE_TILE = 1024
 #: the bench shape (fused YUV) — T=512: 38.3 ms, 1024: 26.5, 2048: 23.5,
 #: **4096: 22.5**, 8192: 25.3, 16384: 24.7 (d3 same ordering).  The
 #: site kernels OOM scoped VMEM at 4096; the transposed activations are
-#: only nf x T bf16 = 1 MB.
+#: only nf x T bf16 = 1 MB.  Applies at nf <= 128 — the nf=256 shapes
+#: are MXU-bound, not overhead-bound, and measured SLOWER at 4096
+#: (57.5 vs 53.4 ms fused YUV); they keep ENSEMBLE_TILE.
 ENSEMBLE_TILE_T = 4096
 
 
@@ -771,7 +773,7 @@ def stage_ensemble_apply_t(stacked_t: dict, taps_t, *, n_modes: int,
     """
     nf = stacked_t["w1t"].shape[1]
     n = taps_t.shape[1]
-    tile = ENSEMBLE_TILE_T
+    tile = ENSEMBLE_TILE_T if nf <= 128 else ENSEMBLE_TILE
     n_pad = -(-n // tile) * tile
     if n_pad != n:
         if interpret:  # no ragged-block masking in the interpreter
