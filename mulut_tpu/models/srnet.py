@@ -264,7 +264,7 @@ def _ensemble_taps(x, modes: str):
 
 def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
                         scale: int, interpret: bool = False,
-                        final_clip: bool = False):
+                        final_clip: bool | str = False):
     """Fast (bf16) deployment forward via the Pallas stage-ensemble kernel.
 
     The whole mode x rotation ensemble of each stage — 4*len(modes) tap-MLP
@@ -300,6 +300,20 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
             st_t = transpose_plain_stack(stacked_stages[s])
             taps_t = _ensemble_taps_t(x, modes)
             if stage == stages:
+                if final_clip == "pack" and upscale == 4:
+                    # u32-packed quad rows from the kernel epilogue: the
+                    # interleave becomes a free bitcast + ONE u8
+                    # transpose (the bf16/f32 forms pay three wide
+                    # copies — XLA hoists the f32 convert before the
+                    # transposes; r4 trace).  uint8 output.
+                    packed = stage_ensemble_apply_t(
+                        st_t, taps_t, n_modes=M, interpret=interpret,
+                        mix=("final_pack", M),
+                    )                                # (4, N) u32
+                    b = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+                    b = b.reshape(upscale, B, C, H, W, upscale)
+                    o = jnp.transpose(b, (1, 2, 3, 0, 4, 5))
+                    return o.reshape(B, C, H * upscale, W * upscale)
                 o = stage_ensemble_apply_t(
                     st_t, taps_t, n_modes=M, interpret=interpret,
                     mix=("final_u8" if final_clip else "final", M),

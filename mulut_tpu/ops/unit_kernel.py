@@ -718,6 +718,20 @@ def _plain_t_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     elif kind == "final_u8":
         out_ref[:] = jnp.clip(
             jnp.round(acc / m), 0, 255).astype(jnp.bfloat16)
+    elif kind == "final_pack":
+        # upscale==4 only: rows sy*4+sx -> one u32 per output quad-row
+        # (byte sx), same packing as the LUT tail kernel — the XLA-side
+        # interleave becomes a free bitcast + one u8 transpose instead
+        # of three f32 copies (~3 ms per 8x1080p YUV batch, r4 trace).
+        vi = jnp.clip(jnp.round(acc / m), 0, 255).astype(jnp.int32)
+        packed = None
+        for sx in range(4):
+            part = jnp.concatenate(
+                [vi[4 * sy + sx : 4 * sy + sx + 1, :] for sy in range(4)],
+                axis=0,
+            ) << (8 * sx)
+            packed = part if packed is None else packed | part
+        out_ref[:] = packed.astype(jnp.uint32)
     else:
         out_ref[:] = jnp.round(acc / m)
 
@@ -785,19 +799,25 @@ def stage_ensemble_apply_t(stacked_t: dict, taps_t, *, n_modes: int,
                              mix)
     weights = (stacked_t["w1t"], stacked_t["b1"], stacked_t["hwt"],
                stacked_t["hb"], stacked_t["w6t"], stacked_t["b6"])
-    out_dtype = (jnp.bfloat16
-                 if mix is not None and mix[0] in ("inner", "final_u8")
-                 else jnp.float32)
+    pack = mix is not None and mix[0] == "final_pack"
+    if pack:
+        assert out_pad == 16, "final_pack packs a 4x4 quad (upscale 4)"
+        out_rows, out_dtype = 4, jnp.uint32
+    else:
+        out_rows = out_pad
+        out_dtype = (jnp.bfloat16
+                     if mix is not None and mix[0] in ("inner", "final_u8")
+                     else jnp.float32)
     width = 16 * n_modes
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((out_pad, n_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((out_rows, n_pad), out_dtype),
         grid=(-(-n_pad // tile),),
         in_specs=[
             pl.BlockSpec((width, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
-        out_specs=pl.BlockSpec((out_pad, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((out_rows, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(taps_t, *weights)

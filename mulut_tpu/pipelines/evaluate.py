@@ -529,9 +529,15 @@ class NetEvaluator:
                 # pixels identical (the u8 quantizer clips anyway)
                 @jax.jit
                 def _luma_clip(x):
+                    from ..models import srnet as _sn
+
+                    # feature layout + x4: u32-packed kernel epilogue
+                    # (free-bitcast interleave); else bf16 clip epilogue
+                    clip = ("pack" if _sn.PLAIN_LAYOUT == "feature"
+                            and scale == 4 else True)
                     return srnets_predict_fast(
                         stacked, x, modes=modes, stages=stages,
-                        scale=scale, final_clip=True)
+                        scale=scale, final_clip=clip)
 
                 self._luma_clip_run = _luma_clip
         else:

@@ -294,3 +294,21 @@ def test_mxu_bf16_train_step_descends_keeps_f32_masters():
     # master weights stay f32 (the cast lives inside the step)
     for leaf in jax.tree_util.tree_leaves(params):
         assert leaf.dtype == jnp.float32
+
+
+def test_mxu_final_pack_bit_matches_final_u8():
+    """The u32-packed kernel epilogue (final_clip='pack', feature layout,
+    x4) equals the bf16 clip epilogue byte-for-byte after unpacking."""
+    rng = np.random.default_rng(12)
+    params = init_srnets(jax.random.PRNGKey(12), nf=16, scale=4,
+                         modes="sdy", stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    ref = np.asarray(srnets_predict_fast(
+        stacked, x, modes="sdy", stages=2, scale=4, interpret=True,
+        final_clip=True)).astype(np.float32)
+    got = np.asarray(srnets_predict_fast(
+        stacked, x, modes="sdy", stages=2, scale=4, interpret=True,
+        final_clip="pack"))
+    assert got.dtype == np.uint8
+    assert np.array_equal(got.astype(np.float32), ref)
