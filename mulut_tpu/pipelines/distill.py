@@ -171,8 +171,11 @@ def distill_finetune_cascade(students: dict, dense_params: dict, *,
         np.asarray(_synth_image(rng, 192), np.float32) / 255.0
         for _ in range(24)
     ]
+    # drop images too small to crop from (rng.integers(0, 0) raises;
+    # r4 advisor finding) — callers may pass unfiltered LR folders
     extra = [np.asarray(im, np.float32) / 255.0
-             for im in (extra_images or [])]
+             for im in (extra_images or [])
+             if im.shape[0] >= crop and im.shape[1] >= crop]
 
     schedule = optax.cosine_decay_schedule(lr0, iters, alpha=lr1 / lr0)
     opt = optax.adam(schedule)
@@ -200,8 +203,8 @@ def distill_finetune_cascade(students: dict, dense_params: dict, *,
             src = (extra[rng.integers(len(extra))]
                    if extra and rng.random() < extra_weight
                    else pool[rng.integers(len(pool))])
-            y = rng.integers(0, src.shape[0] - crop)
-            x = rng.integers(0, src.shape[1] - crop)
+            y = rng.integers(0, src.shape[0] - crop + 1)
+            x = rng.integers(0, src.shape[1] - crop + 1)
             c = rng.integers(0, src.shape[2])
             patch = src[y : y + crop, x : x + crop, c]
             # rigid augmentation (flips + rot90, ref: sr/data.py:105-116)

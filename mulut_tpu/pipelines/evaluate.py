@@ -705,8 +705,10 @@ class NetEvaluator:
             # three (B, Hs, Ws) planes into an f32 (..., 3) tensor before
             # an einsum costs a 1.5 ms relayout copy of the luma plane at
             # 8x1080p (r4 trace); the FMA form fuses per channel with no
-            # stacked f32 intermediate.  Same f32 products/sums order as
-            # the einsum's K=3 contraction.
+            # stacked f32 intermediate.  Algebraically identical to the
+            # einsum (the offset is folded into one constant); last-ulp
+            # rounding may differ, which can flip a round() tie by ±1
+            # greylevel — this path is PSNR-scored, not golden-pinned.
             chans = []
             for o in range(3):
                 plane = (y_sr * np.float32(Ti[o, 0])

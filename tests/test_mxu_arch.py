@@ -31,6 +31,20 @@ from mulut_tpu.models.srnet import (
 from mulut_tpu.pipelines.transfer import transfer_to_luts
 
 
+@pytest.fixture(autouse=True)
+def _restore_kernel_flags():
+    """Module-level kernel flags (PLAIN_LAYOUT / PLAIN_SCHEDULE) are not
+    jit keys; an assert failure mid-test must not leak a mutated flag
+    into later tests (r4 advisor finding)."""
+    import mulut_tpu.models.srnet as sn
+    import mulut_tpu.ops.unit_kernel as uk
+
+    layout, sched = sn.PLAIN_LAYOUT, uk.PLAIN_SCHEDULE
+    yield
+    sn.PLAIN_LAYOUT, uk.PLAIN_SCHEDULE = layout, sched
+    uk.stage_ensemble_apply.clear_cache()
+
+
 def test_unit_layout_inference():
     k = jax.random.PRNGKey(0)
     dense = init_mulut_unit(k, nf=8, upscale=4)
@@ -312,3 +326,49 @@ def test_mxu_final_pack_bit_matches_final_u8():
         final_clip="pack"))
     assert got.dtype == np.uint8
     assert np.array_equal(got.astype(np.float32), ref)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="exercises Mosaic's ragged last-block masking "
+                           "on real TPU (interpret mode keeps the pad)")
+def test_mxu_ragged_last_block_matches_padded_on_tpu():
+    """The no-pad ragged path (N not a tile multiple, device Mosaic
+    masking) must equal the explicitly padded form — CI runs interpret
+    mode only, so a Pallas/Mosaic behavior change would otherwise first
+    surface as a bench-time checksum mismatch (r4 advisor finding)."""
+    import mulut_tpu.ops.unit_kernel as uk
+    from mulut_tpu.models.srnet import _ensemble_taps, _ensemble_taps_t
+    from mulut_tpu.ops.unit_kernel import (
+        stage_ensemble_apply,
+        stage_ensemble_apply_t,
+        transpose_plain_stack,
+    )
+
+    rng = np.random.default_rng(13)
+    params = init_srnets(jax.random.PRNGKey(13), nf=16, scale=4,
+                         modes="sdy", stages=1, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=1, scale=4)
+    # N = 1*1*37*29 = 1073: not a multiple of any tile in use
+    x = jnp.asarray(rng.random((1, 1, 37, 29)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16)
+    n = 37 * 29
+
+    # site-major kernel: ragged (device default) vs explicit pad
+    taps = _ensemble_taps(xb, "sdy")
+    ragged = np.asarray(stage_ensemble_apply(stacked[0], taps, n_modes=3))
+    n_pad = -(-n // uk.ENSEMBLE_TILE) * uk.ENSEMBLE_TILE
+    padded = np.asarray(stage_ensemble_apply(
+        stacked[0], jnp.pad(taps, [(0, n_pad - n), (0, 0)]),
+        n_modes=3))[:n]
+    assert np.array_equal(ragged, padded)
+
+    # feature-major (transposed) kernel
+    st_t = transpose_plain_stack(stacked[0])
+    taps_t = _ensemble_taps_t(xb, "sdy")
+    ragged_t = np.asarray(stage_ensemble_apply_t(st_t, taps_t, n_modes=3))
+    tile_t = uk.ENSEMBLE_TILE_T if 16 <= 128 else uk.ENSEMBLE_TILE
+    np_t = -(-n // tile_t) * tile_t
+    padded_t = np.asarray(stage_ensemble_apply_t(
+        st_t, jnp.pad(taps_t, [(0, 0), (0, np_t - n)]),
+        n_modes=3))[:, :n]
+    assert np.array_equal(ragged_t, padded_t)
