@@ -231,6 +231,55 @@ TAPS_BUILD = "stack"
 #: device checksums equal).  RGB path: 78.1 vs 93.5 ms.
 PLAIN_LAYOUT = "feature"
 
+#: DENSE-kernel data layout: "site" (the r3 form — VPU head, (T, 5nf)
+#: concat scratch) or "feature" (transposed — `_dense_t_kernel`; the
+#: buffers that compile-OOM'd the site-major MXU-head/tile attempts
+#: shrink to (5nf, T), and the output head gets the plain kernel's 8x
+#: MXU-cycle cut).  Outputs bit-identical either way (same VPU head and
+#: accumulation order).  Default set by the chip A/B in
+#: experiments/_r5_dense_t.py (see PERF.md r5).
+DENSE_LAYOUT = "site"
+
+
+#: route plain feature-layout stages through the WINDOW kernel
+#: (in-kernel tap extraction, `unit_kernel._plain_w_kernel`): the XLA
+#: tap-matrix build disappears and per-stage kernel HBM reads drop
+#: ~100 MB -> ~6 MB.  Default set by the chip A/B in
+#: experiments/_r5_window.py (see PERF.md r5).
+PLAIN_WINDOW = False
+
+
+def _window_inputs(x, modes: str, tile: int):
+    """(B, C, H, W) float -> ((n_tiles, tile+2S) f32 windows, geometry).
+
+    Flat-domain tap extraction (see `unit_kernel._plain_w_kernel`): the
+    image is edge-padded by the global P on ALL sides, flattened, and cut
+    into per-tile windows carrying a +/- S = P*Wp+P halo, so that the tap
+    at (dy, dx) of any site is a static lane shift dy*Wp+dx inside the
+    window.  The windows array is built from two reshaped views of the
+    flat plane (one clean ~6 MB copy — no gather).  f32 because Mosaic
+    lane-shifts 32-bit rows reliably; the bf16 tap values round-trip
+    exactly.  Returns (windows, (n_sites, Hp, Wp, P)).
+    """
+    from ..ops.unit_kernel import window_offsets
+
+    P, _ = window_offsets(modes)
+    B, C, H, W = x.shape
+    xp = jnp.pad(x, [(0, 0), (0, 0), (P, P), (P, P)], mode="edge")
+    Hp, Wp = H + 2 * P, W + 2 * P
+    flat = xp.astype(jnp.bfloat16).astype(jnp.float32).reshape(-1)
+    n = B * C * Hp * Wp
+    S = P * Wp + P
+    n_tiles = -(-n // tile)
+    total = n_tiles * tile
+    L = tile + 2 * S
+    nview = -(-L // tile)
+    flatp = jnp.pad(flat, (S, max(0, total + nview * tile - n - S)))
+    views = [flatp[v * tile : v * tile + total].reshape(n_tiles, tile)
+             for v in range(nview)]
+    win = jnp.concatenate(views, axis=1)[:, :L]
+    return win[:, None, :], (n, Hp, Wp, P)
+
 
 def _ensemble_taps_t(x, modes: str):
     """(B, C, H, W) -> (16*M, N) bf16 feature-major tap matrix (sites in
@@ -290,8 +339,61 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
         # Plain (mxu-arch) stacks fold the stage mixing into the kernel
         # epilogue (bit-identical; deletes XLA's mix/cast fusions over the
         # (N, 16) f32 buffer — see unit_kernel._apply_stage_mix).
-        plain = "hw" in stacked_stages[s]
-        if plain and PLAIN_LAYOUT == "feature":
+        st = stacked_stages[s]
+        plain = "hw" in st
+        # dense-unpaired stacks may take the transposed kernel too
+        # (_dense_t_kernel; bit-identical) — paired/quantized stacks are
+        # site-major-only forms
+        nf_s = st["w1"].shape[2] if "w1" in st else 0
+        dense_t = (DENSE_LAYOUT == "feature" and not plain
+                   and "hwq" not in st and "w2" in st
+                   and st["w2"].shape[-1] == nf_s)
+        if plain and PLAIN_LAYOUT == "feature" and PLAIN_WINDOW:
+            from ..ops.unit_kernel import (
+                ENSEMBLE_TILE_T,
+                scatter_window_heads,
+                stage_ensemble_apply_w,
+                transpose_plain_stack,
+                window_offsets,
+            )
+
+            st_t = transpose_plain_stack(st)
+            w1e = scatter_window_heads(st, modes)
+            tile = ENSEMBLE_TILE_T
+            win, (n_sites, Hp, Wp, P) = _window_inputs(x, modes, tile)
+            S = P * Wp + P
+            _, offs = window_offsets(modes)
+            offs_lane = tuple(S + dy * Wp + dx for dy, dx in offs)
+            if stage == stages:
+                if final_clip == "pack" and upscale == 4:
+                    packed = stage_ensemble_apply_w(
+                        st_t, w1e, win, n_modes=M, offs=offs_lane,
+                        tile=tile, interpret=interpret,
+                        mix=("final_pack", M),
+                    )[:, :n_sites]                   # (4, N') u32
+                    b = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+                    b = b.reshape(upscale, B, C, Hp, Wp, upscale)
+                    b = b[:, :, :, P : P + H, P : P + W, :]
+                    o = jnp.transpose(b, (1, 2, 3, 0, 4, 5))
+                    return o.reshape(B, C, H * upscale, W * upscale)
+                o = stage_ensemble_apply_w(
+                    st_t, w1e, win, n_modes=M, offs=offs_lane, tile=tile,
+                    interpret=interpret,
+                    mix=("final_u8" if final_clip else "final", M),
+                )[: upscale * upscale, :n_sites]
+                o = o.reshape(upscale, upscale, B, C, Hp, Wp)
+                o = o[:, :, :, :, P : P + H, P : P + W]
+                o = jnp.transpose(o, (2, 3, 4, 0, 5, 1))
+                return o.reshape(B, C, H * upscale, W * upscale)
+            xb = stage_ensemble_apply_w(
+                st_t, w1e, win, n_modes=M, offs=offs_lane, tile=tile,
+                interpret=interpret, mix=("inner", M),
+            )[0, :n_sites]
+            # pad-band sites hold garbage; crop to the valid image (the
+            # next stage re-pads fresh)
+            x = xb.reshape(B, C, Hp, Wp)[:, :, P : P + H, P : P + W]
+            continue
+        if (plain and PLAIN_LAYOUT == "feature") or dense_t:
             from ..ops.unit_kernel import (
                 stage_ensemble_apply_t,
                 transpose_plain_stack,

@@ -707,6 +707,140 @@ def _plain_t_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
                 o + b6[mi, out_pad * r : out_pad * (r + 1)]
                 .astype(jnp.float32)[:, None])
             acc = acc + jnp.round(o * 127.0)
+    _apply_stage_mix_t(acc, mix, out_ref)
+
+
+def _plain_t_rs_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                       mix, t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+    """Rotation-stacked feature-major kernel: each mode's 4 rotation
+    chains fuse into ONE (nf, 4T) matmul chain.
+
+    The 4 rotations of a mode share head/hidden weights (rotation enters
+    only through tap offsets and pre-permuted w6 blocks), and in the
+    feature-major layout sites live in LANES — so stacking rotations is a
+    lane-axis concat: 4x the N per MXU dispatch and 3 dependent hidden
+    chains per stage instead of 12.  Matmul columns are independent and
+    the (mode, rotation-ascending) accumulation order is preserved, so
+    outputs are bit-identical to `_plain_t_kernel`.  The site-major rs
+    form measured negative in r3; this re-sweeps the lever after the r4
+    layout change (PERF.md: "re-sweep closed levers after every
+    structural change").
+    """
+    T = t_ref.shape[1]
+    acc = jnp.zeros((out_pad, T), jnp.float32)
+    for mi in range(n_modes):
+        base = mi * 16
+        # Head per rotation, THEN lane-concat: concatenating the raw tap
+        # slices fails Mosaic ("offset mismatch on non-concat dimension"
+        # — slices at sublane offsets 4/12 carry non-zero vpad, measured
+        # r5); matmul RESULTS are in canonical layout and concat clean.
+        # The per-rotation heads cost the same as pass-major — only the
+        # dominant hidden matmuls need the 4x fusion.
+        xs = []
+        for r in range(4):
+            t = t_ref[base + 4 * r : base + 4 * r + 4, :]
+            xk = jnp.dot(w1[mi], t, preferred_element_type=jnp.float32)
+            xk = jnp.maximum(xk + b1[mi].astype(jnp.float32)[:, None], 0)
+            xs.append(xk.astype(jnp.bfloat16))
+        xa = jnp.concatenate(xs, axis=1)                # (nf, 4T)
+        for d in range(depth):
+            xk = jnp.dot(hw[d, mi], xa, preferred_element_type=jnp.float32)
+            xk = jnp.maximum(xk + hb[d, mi].astype(jnp.float32)[:, None], 0)
+            xa = xk.astype(jnp.bfloat16)
+        for r in range(4):
+            o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :],
+                        xa[:, r * T : (r + 1) * T],
+                        preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, out_pad * r : out_pad * (r + 1)]
+                .astype(jnp.float32)[:, None])
+            acc = acc + jnp.round(o * 127.0)
+    _apply_stage_mix_t(acc, mix, out_ref)
+
+
+def _plain_t_rsiv_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                         mix, t_ref, w1, b1, hw, hb, w6, b6, out_ref):
+    """`_plain_t_rs_kernel` with the n_modes stacked chains advancing
+    layer-major (consecutive hidden matmuls independent — no MXU drain
+    between modes).  Accumulation order unchanged; bit-identical."""
+    T = t_ref.shape[1]
+    Xs = []
+    for mi in range(n_modes):
+        base = mi * 16
+        xs = []
+        for r in range(4):  # head-then-concat; see _plain_t_rs_kernel
+            t = t_ref[base + 4 * r : base + 4 * r + 4, :]
+            xk = jnp.dot(w1[mi], t, preferred_element_type=jnp.float32)
+            xk = jnp.maximum(xk + b1[mi].astype(jnp.float32)[:, None], 0)
+            xs.append(xk.astype(jnp.bfloat16))
+        Xs.append(jnp.concatenate(xs, axis=1))
+    for d in range(depth):
+        for mi in range(n_modes):
+            xk = jnp.dot(hw[d, mi], Xs[mi],
+                         preferred_element_type=jnp.float32)
+            xk = jnp.maximum(xk + hb[d, mi].astype(jnp.float32)[:, None], 0)
+            Xs[mi] = xk.astype(jnp.bfloat16)
+    acc = jnp.zeros((out_pad, T), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :],
+                        Xs[mi][:, r * T : (r + 1) * T],
+                        preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, out_pad * r : out_pad * (r + 1)]
+                .astype(jnp.float32)[:, None])
+            acc = acc + jnp.round(o * 127.0)
+    _apply_stage_mix_t(acc, mix, out_ref)
+
+
+def _dense_t_kernel(nf: int, n_modes: int, out_pad: int, hidden,
+                    mix, t_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+                    w6, b6, out_ref, cat):
+    """FEATURE-major (transposed) kernel for DENSE-concat units.
+
+    The site-major dense kernel could not take the MXU head or bigger
+    tiles: its (T, 5nf) concat scratch plus an f32 head dot overflowed
+    scoped VMEM (PERF.md r4, compile OOM).  The transposed layout shrinks
+    exactly those buffers — concat lives as (5nf, T) with sites in lanes
+    (5nf = 320 rows, 1.3 MB bf16 at T=2048) and every f32 intermediate is
+    (nf, T) — while the output head (out_pad, 5nf) x (5nf, T) gets the
+    same 8x MXU-cycle cut the plain kernel measured (VERDICT r4 #4).
+    The head stays the VPU broadcast-FMA form in the same accumulation
+    order as `_ensemble_kernel`, so outputs are BIT-IDENTICAL to the
+    site-major dense kernel (verified in tests/test_mxu_arch.py).
+    """
+    hw = {2: w2, 3: w3, 4: w4, 5: w5}
+    hb = {2: b2, 3: b3, 4: b4, 5: b5}
+    acc = jnp.zeros((out_pad, t_ref.shape[1]), jnp.float32)
+    for mi in range(n_modes):
+        for r in range(4):
+            col = (mi * 4 + r) * 4
+            t = t_ref[col : col + 4, :]
+            x = None
+            for k in range(4):
+                term = w1[mi, :, k : k + 1] * t[k : k + 1, :]
+                x = term if x is None else x + term
+            cat[0:nf, :] = jnp.maximum(
+                x + b1[mi].astype(jnp.float32)[:, None].astype(jnp.bfloat16),
+                0).astype(jnp.bfloat16)
+            for li, k in enumerate(hidden, start=1):
+                xk = jnp.dot(hw[k][mi], cat[0 : nf * li, :],
+                             preferred_element_type=jnp.float32)
+                xk = jnp.maximum(
+                    xk + hb[k][mi].astype(jnp.float32)[:, None], 0)
+                cat[nf * li : nf * (li + 1), :] = xk.astype(jnp.bfloat16)
+            o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :],
+                        cat[:, :], preferred_element_type=jnp.float32)
+            o = jnp.tanh(
+                o + b6[mi, out_pad * r : out_pad * (r + 1)]
+                .astype(jnp.float32)[:, None])
+            acc = acc + jnp.round(o * 127.0)
+    _apply_stage_mix_t(acc, mix, out_ref)
+
+
+def _apply_stage_mix_t(acc, mix, out_ref):
+    """Feature-major twin of `_apply_stage_mix` (rows = output lanes,
+    columns = sites)."""
     if mix is None:
         out_ref[:] = acc
         return
@@ -736,10 +870,172 @@ def _plain_t_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
         out_ref[:] = jnp.round(acc / m)
 
 
+def _plain_w_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
+                    mix, offs, rs: bool,
+                    win_ref, w1e, b1, hw, hb, w6, b6, out_ref, r_scr):
+    """WINDOW kernel: in-kernel tap extraction + feature-major MLP chain.
+
+    Replaces the XLA-side (48, N) tap-matrix build (VERDICT r4 Next #1):
+    the input is a per-tile flat WINDOW of the edge-padded image — tile
+    sites plus a +/- (P*Wp+P) halo — and every tap row is a static lane
+    slice of it (flat-domain shift: tap (dy, dx) of site p lives at
+    p + dy*Wp + dx once the site domain includes the pad band; pad sites
+    compute garbage and are cropped by the caller).  The `offs` slices
+    are deduplicated (25 distinct shifts for sdy vs 48 tap rows), stored
+    once per tile into the `r_scr` scratch (stores normalize the lane
+    offsets Mosaic's concat refuses), and every pass reads them through a
+    SCATTERED head: w1e[mi, r] is (nf, n_off) with the unit's 4 tap
+    columns filled — a K=25 matmul costs the same MXU passes as K=4.
+    HBM traffic per stage drops from ~100 MB (tap matrix) to ~6 MB
+    (windows).  rs=True fuses each mode's 4 rotation chains into one
+    (nf, 4T) hidden chain (head-then-concat, see `_plain_t_rs_kernel`).
+    Outputs are bit-identical to the tap-matrix kernels: same bf16 tap
+    values (f32 window round-trips bf16 exactly), same matmul shapes in
+    the hidden/out layers, same accumulation order.
+    """
+    T = r_scr.shape[1]
+    for j, a in enumerate(offs):
+        r_scr[j : j + 1, :] = win_ref[0, 0:1, a : a + T]
+    R = r_scr[:].astype(jnp.bfloat16)                  # (n_off, T)
+    acc = jnp.zeros((out_pad, T), jnp.float32)
+    for mi in range(n_modes):
+        xs = []
+        for r in range(4):
+            xk = jnp.dot(w1e[mi * 4 + r], R,
+                         preferred_element_type=jnp.float32)
+            xk = jnp.maximum(xk + b1[mi].astype(jnp.float32)[:, None], 0)
+            xs.append(xk.astype(jnp.bfloat16))
+        if rs:
+            xa = jnp.concatenate(xs, axis=1)           # (nf, 4T)
+            for d in range(depth):
+                xk = jnp.dot(hw[d, mi], xa,
+                             preferred_element_type=jnp.float32)
+                xk = jnp.maximum(
+                    xk + hb[d, mi].astype(jnp.float32)[:, None], 0)
+                xa = xk.astype(jnp.bfloat16)
+            for r in range(4):
+                o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :],
+                            xa[:, r * T : (r + 1) * T],
+                            preferred_element_type=jnp.float32)
+                o = jnp.tanh(
+                    o + b6[mi, out_pad * r : out_pad * (r + 1)]
+                    .astype(jnp.float32)[:, None])
+                acc = acc + jnp.round(o * 127.0)
+        else:
+            for r in range(4):
+                xa = xs[r]
+                for d in range(depth):
+                    xk = jnp.dot(hw[d, mi], xa,
+                                 preferred_element_type=jnp.float32)
+                    xk = jnp.maximum(
+                        xk + hb[d, mi].astype(jnp.float32)[:, None], 0)
+                    xa = xk.astype(jnp.bfloat16)
+                o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :],
+                            xa, preferred_element_type=jnp.float32)
+                o = jnp.tanh(
+                    o + b6[mi, out_pad * r : out_pad * (r + 1)]
+                    .astype(jnp.float32)[:, None])
+                acc = acc + jnp.round(o * 127.0)
+    _apply_stage_mix_t(acc, mix, out_ref)
+
+
+def window_offsets(modes: str):
+    """Deduplicated (dy, dx) tap shifts across all modes x rotations,
+    sorted; P is the uniform halo (edge-replication is idempotent, so a
+    global pad of P reproduces each mode's own `mode_pad` clamping
+    exactly for every valid site)."""
+    from .taps import mode_pad, rotated_taps
+
+    P = max(mode_pad(m) for m in modes)
+    offs = sorted({o for m in modes for r in range(4)
+                   for o in rotated_taps(m, r)})
+    return P, offs
+
+
+def scatter_window_heads(stacked: dict, modes: str):
+    """(M, 4, nf) site-major head stack -> (M*4, nf, n_off) scattered
+    heads for `_plain_w_kernel` (one per mode x rotation; the unit's 4
+    tap columns land at their deduplicated window-offset indices)."""
+    import numpy as np
+
+    from .taps import rotated_taps
+
+    _, offs = window_offsets(modes)
+    idx = {o: j for j, o in enumerate(offs)}
+    w1 = np.asarray(stacked["w1"], np.float32)          # (M, 4, nf)
+    M, _, nf = w1.shape
+    w1e = np.zeros((M * 4, nf, len(offs)), np.float32)
+    for mi, m in enumerate(modes):
+        for r in range(4):
+            for k, o in enumerate(rotated_taps(m, r)):
+                w1e[mi * 4 + r, :, idx[o]] += w1[mi, k, :]
+    return jnp.asarray(w1e, jnp.bfloat16)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_modes", "out_pad", "interpret",
+                                    "mix", "offs", "tile"))
+def stage_ensemble_apply_w(stacked_t: dict, w1e, windows, *, n_modes: int,
+                           offs: tuple, tile: int, out_pad: int = 16,
+                           interpret: bool = False, mix=None):
+    """Window-kernel twin of `stage_ensemble_apply_t` (plain stacks).
+
+    windows: (n_tiles, 1, tile + 2*S) f32 flat windows over the PADDED
+    site domain (see `srnet._window_inputs`; the middle singleton makes
+    the block dims equal the array dims — Pallas TPU requires the last
+    two block dims divisible by (8, 128) or whole); offs: static lane
+    offsets of the deduplicated tap shifts within a window.  Returns
+    (out_rows, n_tiles*tile) over the padded domain; callers crop.
+    """
+    n_tiles, _, L = windows.shape
+    nf = stacked_t["w1t"].shape[1]
+    depth = stacked_t["hwt"].shape[0]
+    rs = PLAIN_T_SCHEDULE in ("rs", "rsiv")
+    kern = functools.partial(_plain_w_kernel, nf, n_modes, out_pad, depth,
+                             mix, offs, rs)
+    weights = (w1e, stacked_t["b1"], stacked_t["hwt"], stacked_t["hb"],
+               stacked_t["w6t"], stacked_t["b6"])
+    pack = mix is not None and mix[0] == "final_pack"
+    if pack:
+        assert out_pad == 16, "final_pack packs a 4x4 quad (upscale 4)"
+        out_rows, out_dtype = 4, jnp.uint32
+    else:
+        out_rows = out_pad
+        out_dtype = (jnp.bfloat16
+                     if mix is not None and mix[0] in ("inner", "final_u8")
+                     else jnp.float32)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((out_rows, n_tiles * tile),
+                                       out_dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec((out_rows, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((len(offs), tile), jnp.float32)],
+        interpret=interpret,
+    )(windows, *weights)
+
+
 def transpose_plain_stack(stacked: dict) -> dict:
-    """Site-major plain stack -> feature-major (transposed) weight layout
-    for `_plain_t_kernel`.  Pure transposes of the small weight arrays."""
-    assert "hw" in stacked, "transpose_plain_stack expects a plain stack"
+    """Site-major stack -> feature-major (transposed) weight layout for
+    `_plain_t_kernel` / `_dense_t_kernel`.  Pure transposes of the small
+    weight arrays; dense-concat stacks keep their per-layer keys."""
+    if "hw" not in stacked:
+        out = {
+            "w1t": jnp.transpose(stacked["w1"], (0, 2, 1)),  # (M, nf, 4)
+            "b1": stacked["b1"],
+            "w6t": jnp.transpose(stacked["w6"], (0, 2, 1)),  # (M,4op,5nf)
+            "b6": stacked["b6"],
+        }
+        for k in (2, 3, 4, 5):
+            if f"w{k}" in stacked:
+                out[f"w{k}t"] = jnp.transpose(stacked[f"w{k}"], (0, 2, 1))
+                out[f"b{k}"] = stacked[f"b{k}"]
+        return out
     return {
         "w1t": jnp.transpose(stacked["w1"], (0, 2, 1)),   # (M, nf, 4)
         "b1": stacked["b1"],
@@ -755,6 +1051,18 @@ def transpose_plain_stack(stacked: dict) -> dict:
 #: or rotation-stacked + mode-layer-major (see the respective kernels).
 #: PLAIN_INTERLEAVE=True is honored as "iv" for backwards compatibility.
 PLAIN_SCHEDULE = "pass"
+
+#: schedule for the FEATURE-major (transposed) kernel: "pass" |
+#: "rs" | "rsiv".  Separate flag from PLAIN_SCHEDULE because the
+#: transposed layout re-opens levers the site-major sweeps closed
+#: (PERF.md r4 lesson); chip A/B in experiments/_r5_tsched.py.
+PLAIN_T_SCHEDULE = "pass"
+
+_PLAIN_T_KERNELS = {
+    "pass": _plain_t_kernel,
+    "rs": _plain_t_rs_kernel,
+    "rsiv": _plain_t_rsiv_kernel,
+}
 
 _PLAIN_KERNELS = {
     "pass": _plain_ensemble_kernel,
@@ -787,18 +1095,31 @@ def stage_ensemble_apply_t(stacked_t: dict, taps_t, *, n_modes: int,
     """
     nf = stacked_t["w1t"].shape[1]
     n = taps_t.shape[1]
-    tile = ENSEMBLE_TILE_T if nf <= 128 else ENSEMBLE_TILE
+    dense = "hwt" not in stacked_t
+    tile = ENSEMBLE_TILE_T if (nf <= 128 and not dense) else ENSEMBLE_TILE
     n_pad = -(-n // tile) * tile
     if n_pad != n:
         if interpret:  # no ragged-block masking in the interpreter
             taps_t = jnp.pad(taps_t, [(0, 0), (0, n_pad - n)])
         else:
             n_pad = n
-    depth = stacked_t["hwt"].shape[0]
-    kern = functools.partial(_plain_t_kernel, nf, n_modes, out_pad, depth,
-                             mix)
-    weights = (stacked_t["w1t"], stacked_t["b1"], stacked_t["hwt"],
-               stacked_t["hb"], stacked_t["w6t"], stacked_t["b6"])
+    scratch = []
+    if dense:
+        hidden = [k for k in (2, 3, 4, 5) if f"w{k}t" in stacked_t]
+        kern = functools.partial(_dense_t_kernel, nf, n_modes, out_pad,
+                                 hidden, mix)
+        weights = [stacked_t["w1t"], stacked_t["b1"]]
+        for k in (2, 3, 4, 5):
+            weights += [stacked_t[f"w{k}t"], stacked_t[f"b{k}"]]
+        weights += [stacked_t["w6t"], stacked_t["b6"]]
+        weights = tuple(weights)
+        scratch = [pltpu.VMEM((5 * nf, tile), jnp.bfloat16)]
+    else:
+        depth = stacked_t["hwt"].shape[0]
+        kern = functools.partial(_PLAIN_T_KERNELS[PLAIN_T_SCHEDULE], nf,
+                                 n_modes, out_pad, depth, mix)
+        weights = (stacked_t["w1t"], stacked_t["b1"], stacked_t["hwt"],
+                   stacked_t["hb"], stacked_t["w6t"], stacked_t["b6"])
     pack = mix is not None and mix[0] == "final_pack"
     if pack:
         assert out_pad == 16, "final_pack packs a 4x4 quad (upscale 4)"
@@ -819,6 +1140,7 @@ def stage_ensemble_apply_t(stacked_t: dict, taps_t, *, n_modes: int,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
         out_specs=pl.BlockSpec((out_rows, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(taps_t, *weights)
     return out[:, :n]

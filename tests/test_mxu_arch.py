@@ -39,10 +39,14 @@ def _restore_kernel_flags():
     import mulut_tpu.models.srnet as sn
     import mulut_tpu.ops.unit_kernel as uk
 
-    layout, sched = sn.PLAIN_LAYOUT, uk.PLAIN_SCHEDULE
+    saved = (sn.PLAIN_LAYOUT, sn.DENSE_LAYOUT, sn.PLAIN_WINDOW,
+             uk.PLAIN_SCHEDULE, uk.PLAIN_T_SCHEDULE)
     yield
-    sn.PLAIN_LAYOUT, uk.PLAIN_SCHEDULE = layout, sched
+    (sn.PLAIN_LAYOUT, sn.DENSE_LAYOUT, sn.PLAIN_WINDOW,
+     uk.PLAIN_SCHEDULE, uk.PLAIN_T_SCHEDULE) = saved
     uk.stage_ensemble_apply.clear_cache()
+    uk.stage_ensemble_apply_t.clear_cache()
+    uk.stage_ensemble_apply_w.clear_cache()
 
 
 def test_unit_layout_inference():
@@ -372,3 +376,137 @@ def test_mxu_ragged_last_block_matches_padded_on_tpu():
         st_t, jnp.pad(taps_t, [(0, 0), (0, np_t - n)]),
         n_modes=3))[:, :n]
     assert np.array_equal(ragged_t, padded_t)
+
+
+def test_mxu_transposed_schedules_bit_match_pass_major():
+    """Feature-major rs/rsiv kernels == feature-major pass-major, bitwise
+    (rotation stacking is a lane-axis concat; accumulation order kept)."""
+    import mulut_tpu.models.srnet as sn
+    import mulut_tpu.ops.unit_kernel as uk
+
+    rng = np.random.default_rng(14)
+    params = init_srnets(jax.random.PRNGKey(14), nf=16, scale=4,
+                         modes="sdy", stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    sn.PLAIN_LAYOUT = "feature"
+    want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy",
+                                          stages=2, scale=4,
+                                          interpret=True))
+    for sched in ("rs", "rsiv"):
+        uk.PLAIN_T_SCHEDULE = sched
+        uk.stage_ensemble_apply_t.clear_cache()  # flag is not a jit key
+        try:
+            got = np.asarray(srnets_predict_fast(
+                stacked, x, modes="sdy", stages=2, scale=4,
+                interpret=True))
+        finally:
+            uk.PLAIN_T_SCHEDULE = "pass"
+            uk.stage_ensemble_apply_t.clear_cache()
+        assert np.array_equal(got, want), sched
+    # and with the final_clip epilogues (the deployment path)
+    for clip in (True, "pack"):
+        ref = np.asarray(srnets_predict_fast(
+            stacked, x, modes="sdy", stages=2, scale=4, interpret=True,
+            final_clip=clip))
+        uk.PLAIN_T_SCHEDULE = "rs"
+        uk.stage_ensemble_apply_t.clear_cache()
+        try:
+            got = np.asarray(srnets_predict_fast(
+                stacked, x, modes="sdy", stages=2, scale=4,
+                interpret=True, final_clip=clip))
+        finally:
+            uk.PLAIN_T_SCHEDULE = "pass"
+            uk.stage_ensemble_apply_t.clear_cache()
+        assert np.array_equal(got.astype(np.float32),
+                              ref.astype(np.float32)), clip
+
+
+def test_dense_transposed_kernel_bit_matches_site_major():
+    """_dense_t_kernel (feature layout) == the site-major dense kernel,
+    bitwise: same VPU head, same accumulation order, mix epilogues carry
+    the identical op sequence (VERDICT r4 #4)."""
+    import mulut_tpu.models.srnet as sn
+
+    rng = np.random.default_rng(15)
+    params = init_srnets(jax.random.PRNGKey(15), nf=8, scale=4,
+                         modes="sdy", stages=2, arch="dense")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    sn.DENSE_LAYOUT = "site"
+    want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy",
+                                          stages=2, scale=4,
+                                          interpret=True))
+    sn.DENSE_LAYOUT = "feature"
+    try:
+        got = np.asarray(srnets_predict_fast(
+            stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+    finally:
+        sn.DENSE_LAYOUT = "site"
+    assert np.array_equal(got, want)
+
+
+def test_dense_transposed_kernel_paired_and_quant_stay_site():
+    """Paired stacks must not route through the transposed dense kernel
+    (its weight layout is unpaired)."""
+    import mulut_tpu.models.srnet as sn
+
+    rng = np.random.default_rng(16)
+    params = init_srnets(jax.random.PRNGKey(16), nf=8, scale=4,
+                         modes="s", stages=1, arch="dense")
+    stacked = stack_srnets_for_fast(params, modes="s", stages=1, scale=4,
+                                    paired=True)
+    x = jnp.asarray(rng.random((1, 1, 5, 6)).astype(np.float32))
+    want = np.asarray(srnets_predict_fast(stacked, x, modes="s", stages=1,
+                                          scale=4, interpret=True))
+    sn.DENSE_LAYOUT = "feature"
+    try:
+        got = np.asarray(srnets_predict_fast(
+            stacked, x, modes="s", stages=1, scale=4, interpret=True))
+    finally:
+        sn.DENSE_LAYOUT = "site"
+    assert np.array_equal(got, want)
+
+
+def test_window_kernel_matches_tap_matrix_path():
+    """PLAIN_WINDOW (in-kernel tap extraction over the padded flat
+    domain, deduplicated scattered heads) == the tap-matrix feature path
+    on CPU interpret, for the plain forward and both final_clip
+    epilogues, at a non-tile-multiple N and B > 1."""
+    import mulut_tpu.models.srnet as sn
+    import mulut_tpu.ops.unit_kernel as uk
+
+    rng = np.random.default_rng(21)
+    params = init_srnets(jax.random.PRNGKey(21), nf=16, scale=4,
+                         modes="sdy", stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((2, 1, 7, 9)).astype(np.float32))
+    cases = [(False, None), (True, None), ("pack", None)]
+    for clip, _ in cases:
+        want = np.asarray(srnets_predict_fast(
+            stacked, x, modes="sdy", stages=2, scale=4, interpret=True,
+            final_clip=clip)).astype(np.float32)
+        sn.PLAIN_WINDOW = True
+        uk.stage_ensemble_apply_w.clear_cache()
+        try:
+            got = np.asarray(srnets_predict_fast(
+                stacked, x, modes="sdy", stages=2, scale=4,
+                interpret=True, final_clip=clip)).astype(np.float32)
+        finally:
+            sn.PLAIN_WINDOW = False
+            uk.stage_ensemble_apply_w.clear_cache()
+        assert np.array_equal(got, want), clip
+    # window kernel composes with the rs schedule
+    want = np.asarray(srnets_predict_fast(
+        stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+    sn.PLAIN_WINDOW = True
+    uk.PLAIN_T_SCHEDULE = "rs"
+    uk.stage_ensemble_apply_w.clear_cache()
+    try:
+        got = np.asarray(srnets_predict_fast(
+            stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+    finally:
+        sn.PLAIN_WINDOW = False
+        uk.PLAIN_T_SCHEDULE = "pass"
+        uk.stage_ensemble_apply_w.clear_cache()
+    assert np.array_equal(got, want)
