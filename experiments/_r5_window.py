@@ -62,7 +62,7 @@ def main():
         return ev
 
     baseline = {}
-    tile0 = uk.ENSEMBLE_TILE_T
+    tile0, wtile0 = uk.ENSEMBLE_TILE_T, uk.WINDOW_TILE_T
 
     def clear():
         uk.stage_ensemble_apply_t.clear_cache()
@@ -72,7 +72,10 @@ def main():
         src, sched, tile = cfg.split("/")
         sn.PLAIN_WINDOW = src == "win"
         uk.PLAIN_T_SCHEDULE = sched
-        uk.ENSEMBLE_TILE_T = int(tile)
+        if src == "win":
+            uk.WINDOW_TILE_T = int(tile)
+        else:
+            uk.ENSEMBLE_TILE_T = int(tile)
         clear()
         try:
             ev = build()
@@ -92,6 +95,7 @@ def main():
             sn.PLAIN_WINDOW = False
             uk.PLAIN_T_SCHEDULE = "pass"
             uk.ENSEMBLE_TILE_T = tile0
+            uk.WINDOW_TILE_T = wtile0
             clear()
 
     lab.ladder(args.configs, run_one)

@@ -46,10 +46,14 @@ def init_srnets(key, *, nf: int = 64, scale: int = 4, modes: str = "sdy",
     params = {}
     for s in range(stages):
         upscale = scale if s + 1 == stages else 1
+        # per-stage depth (e.g. (2, 3): d2 inner + d3 final — capacity
+        # where the hardest units live, see PERF.md distillation notes);
+        # stacks/kernels are per-stage, so mixed depths deploy untouched
+        d_s = depth[s] if isinstance(depth, (tuple, list)) else depth
         for mode in modes:
             key, sub = jax.random.split(key)
             params[f"s{s + 1}_{mode}"] = init_mulut_unit(
-                sub, nf=nf, upscale=upscale, dense=dense, depth=depth
+                sub, nf=nf, upscale=upscale, dense=dense, depth=d_s
             )
     return params
 
@@ -244,9 +248,12 @@ DENSE_LAYOUT = "site"
 #: route plain feature-layout stages through the WINDOW kernel
 #: (in-kernel tap extraction, `unit_kernel._plain_w_kernel`): the XLA
 #: tap-matrix build disappears and per-stage kernel HBM reads drop
-#: ~100 MB -> ~6 MB.  Default set by the chip A/B in
-#: experiments/_r5_window.py (see PERF.md r5).
-PLAIN_WINDOW = False
+#: ~100 MB -> ~6 MB.  Chip A/B (r5, experiments/_r5_window.py, fused
+#: YUV mxu-d2 batch 8): tap-matrix/pass 24.1 ms -> window/rs/T2048
+#: 18.8-19.2 ms (884 full-color MPix/s), checksum parity MATCH at the
+#: bench shape and Set5 scores identical to the 3rd decimal (RGB
+#: 30.425 / YUV 30.181 on the shipped d2 artifact) — default True.
+PLAIN_WINDOW = True
 
 
 def _window_inputs(x, modes: str, tile: int):
@@ -350,7 +357,7 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
                    and st["w2"].shape[-1] == nf_s)
         if plain and PLAIN_LAYOUT == "feature" and PLAIN_WINDOW:
             from ..ops.unit_kernel import (
-                ENSEMBLE_TILE_T,
+                WINDOW_TILE_T,
                 scatter_window_heads,
                 stage_ensemble_apply_w,
                 transpose_plain_stack,
@@ -359,7 +366,7 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
 
             st_t = transpose_plain_stack(st)
             w1e = scatter_window_heads(st, modes)
-            tile = ENSEMBLE_TILE_T
+            tile = WINDOW_TILE_T
             win, (n_sites, Hp, Wp, P) = _window_inputs(x, modes, tile)
             S = P * Wp + P
             _, offs = window_offsets(modes)

@@ -34,6 +34,11 @@ ENSEMBLE_TILE = 1024
 #: are MXU-bound, not overhead-bound, and measured SLOWER at 4096
 #: (57.5 vs 53.4 ms fused YUV); they keep ENSEMBLE_TILE.
 ENSEMBLE_TILE_T = 4096
+#: tile for the WINDOW kernel (`_plain_w_kernel`).  Chip ladder at the
+#: bench shape with the rs schedule (r5): 1024: 19.5 ms, **2048: 18.8**,
+#: 4096: 19.5 — the rs-fused matmuls are 4T wide, so the optimum sits a
+#: step below the tap-matrix kernel's 4096.
+WINDOW_TILE_T = 2048
 
 
 def _kernel(nf: int,
@@ -1052,11 +1057,14 @@ def transpose_plain_stack(stacked: dict) -> dict:
 #: PLAIN_INTERLEAVE=True is honored as "iv" for backwards compatibility.
 PLAIN_SCHEDULE = "pass"
 
-#: schedule for the FEATURE-major (transposed) kernel: "pass" |
+#: schedule for the FEATURE-major (transposed/window) kernels: "pass" |
 #: "rs" | "rsiv".  Separate flag from PLAIN_SCHEDULE because the
 #: transposed layout re-opens levers the site-major sweeps closed
-#: (PERF.md r4 lesson); chip A/B in experiments/_r5_tsched.py.
-PLAIN_T_SCHEDULE = "pass"
+#: (PERF.md r4 lesson).  Chip A/Bs (r5): on the tap-matrix kernel rs is
+#: within noise of pass (21.3-23.6 vs 22.8-23.9 ms across sessions);
+#: on the WINDOW kernel rs wins consistently (18.8-19.2 vs 20.0 ms) and
+#: is the default with PLAIN_WINDOW.
+PLAIN_T_SCHEDULE = "rs"
 
 _PLAIN_T_KERNELS = {
     "pass": _plain_t_kernel,

@@ -77,3 +77,80 @@ def cascade_row_sharded(
     if pad:
         out = out[..., : H * scale, :]
     return out
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map
+
+        kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+        kw = {"check_rep": False}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **kw)
+
+
+def net_row_sharded(mesh: Mesh, params: dict, x, *, modes: str, stages: int,
+                    scale: int, axis: str = "data", halo: int | None = None,
+                    fast_stacked: list | None = None,
+                    interpret: bool = False, final_clip: bool | str = False):
+    """Row-sharded NET-mode forward: one large image across the mesh.
+
+    The net-path twin of `cascade_row_sharded` (VERDICT r4 #7; replaces
+    the reference's Pool(24) per-image fan-out, ref sr/4_test_lut.py:
+    257-259, for the single-huge-image case).  Each device computes one
+    row band through the full cascade using the CLAMPED-slab scheme of
+    `srnet.srnets_predict_tiled` — the slab carries `halo` context rows
+    clamped INTO the image, so band-edge contamination stays inside the
+    cropped halo and true image edges coincide with slab edges (where
+    the cascade's own per-stage edge padding applies).  Outputs are
+    bit-identical to the unsharded forward, uneven H included (the last
+    device's band overlaps the previous one; the overlap rows are
+    identical values and are dropped in the reassembly below).
+
+    Args:
+      x: (B, C, H, W) float in [0, 1], replicated (LR inputs are small;
+        the COMPUTE and activations — the actual memory load — shard).
+      fast_stacked: route each slab through the Pallas fast path
+        (`srnets_predict_fast` stacks) instead of the f32 forward.
+
+    Returns (B, C, H*scale, W*scale), rows sharded over the mesh.
+    """
+    from ..models.srnet import srnets_predict, srnets_predict_fast
+    from ..ops.taps import mode_pad
+
+    B, C, H, W = x.shape
+    n = mesh.shape[axis]
+    band = -(-H // n)
+    if halo is None:
+        halo = stages * max(mode_pad(m) for m in modes)
+    slab_h = band + 2 * halo
+    assert H >= slab_h, (H, band, halo)
+
+    def one_band(xfull):
+        d = jax.lax.axis_index(axis)
+        kept0 = jnp.minimum(d * band, H - band)
+        start = jnp.clip(kept0 - halo, 0, H - slab_h)
+        slab = jax.lax.dynamic_slice_in_dim(xfull, start, slab_h, axis=2)
+        if fast_stacked is not None:
+            out = srnets_predict_fast(fast_stacked, slab, modes=modes,
+                                      stages=stages, scale=scale,
+                                      interpret=interpret,
+                                      final_clip=final_clip)
+        else:
+            out = srnets_predict(params, slab, modes=modes, stages=stages,
+                                 scale=scale, phase="valid")
+        return jax.lax.dynamic_slice_in_dim(
+            out, (kept0 - start) * scale, band * scale, axis=2)
+
+    spec = [None] * 4
+    spec[2] = axis
+    out = _shard_map(one_band, mesh, P(), P(*spec))(x)
+    if n * band != H:
+        cut = (n - 1) * band * scale
+        main = out[:, :, :cut]
+        tail = out[:, :, cut + ((n - 1) * band - (H - band)) * scale :]
+        out = jnp.concatenate([main, tail], axis=2)
+    return out

@@ -247,14 +247,18 @@ def distill_srnets(dense_params: dict, *, modes: str = "sdy",
     students, metrics = {}, {}
     for s in range(stages):
         upscale = scale if s + 1 == stages else 1
+        # per-stage depth (tuple/list) mirrors init_srnets — e.g. (2, 3)
+        # puts the extra hidden layer in the final stage, where the
+        # hardest unit (s2_s, PERF.md) lives
+        d_s = depth[s] if isinstance(depth, (tuple, list)) else depth
         for mode in modes:
             name = f"s{s + 1}_{mode}"
             key, sub = jax.random.split(key)
             if verbose:
-                print(f"distilling {name} (upscale {upscale}) ...",
-                      flush=True)
+                print(f"distilling {name} (upscale {upscale}, "
+                      f"depth {d_s}) ...", flush=True)
             students[name], metrics[name] = distill_unit(
-                sub, dense_params[name], nf=nf, depth=depth,
+                sub, dense_params[name], nf=nf, depth=d_s,
                 upscale=upscale, iters=iters, batch=batch, lr0=lr0,
                 lr1=lr1, interval=interval,
                 log_every=iters // 4 if verbose else 0,

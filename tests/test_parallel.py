@@ -152,3 +152,36 @@ def test_net_evaluator_batch_sharded_matches_single_device(mesh):
     y1 = ev1.upscale_yuv_batch(imgs)
     y8 = ev8.upscale_yuv_batch(imgs)
     assert np.array_equal(y1, y8)
+
+
+def test_net_row_sharded_bit_exact_uneven(mesh):
+    """Row-sharded NET-mode forward == unsharded, bitwise, at an uneven
+    H split (H=37 over 8 devices -> band 5, last device overlaps) for
+    both the f32 path and the Pallas fast path (interpret kernels)."""
+    from mulut_tpu.models.srnet import (
+        init_srnets,
+        srnets_predict,
+        srnets_predict_fast,
+        stack_srnets_for_fast,
+    )
+    from mulut_tpu.parallel.spatial import net_row_sharded
+
+    rng = np.random.default_rng(5)
+    params = init_srnets(jax.random.PRNGKey(5), nf=16, scale=4,
+                         modes="sdy", stages=2, arch="mxu")
+    x = jnp.asarray(rng.random((1, 1, 37, 12)).astype(np.float32))
+
+    want = np.asarray(srnets_predict(params, x, modes="sdy", stages=2,
+                                     scale=4, phase="valid"))
+    got = np.asarray(net_row_sharded(mesh, params, x, modes="sdy",
+                                     stages=2, scale=4))
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    want_f = np.asarray(srnets_predict_fast(
+        stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+    got_f = np.asarray(net_row_sharded(
+        mesh, params, x, modes="sdy", stages=2, scale=4,
+        fast_stacked=stacked, interpret=True))
+    assert np.array_equal(got_f, want_f)
