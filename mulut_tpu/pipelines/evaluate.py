@@ -690,7 +690,16 @@ class NetEvaluator:
                 # every shape (the threshold branch below routed the
                 # bench shape through the f32 'final' mix and cost
                 # ~2 ms/batch of f32 copies + an XLA clamp, r4 trace)
-                y_sr = luma_run(x)[:, 0].astype(jnp.float32)
+                y_u8 = luma_run(x)[:, 0]
+                # barrier: without it XLA hoists the u8->f32 convert of
+                # the luma plane ABOVE the interleave transposes, paying
+                # them in f32 (copy.29 + copy.33 ~3 ms at 8x1080p, r5
+                # trace) — exactly the copies the u32-packed kernel
+                # epilogue exists to avoid.  The barrier pins the
+                # transpose in the u8 domain; the convert then fuses
+                # into the color FMAs.
+                y_sr = jax.lax.optimization_barrier(y_u8).astype(
+                    jnp.float32)
             elif h * w > threshold and max(h, w) >= min_dim:
                 # static-shape band selection, mirroring `upscale`
                 y_sr = run_tiled(x, axis=2 if h >= min_dim else 3)
