@@ -253,7 +253,10 @@ DENSE_LAYOUT = "site"
 #: 18.8-19.2 ms (884 full-color MPix/s), checksum parity MATCH at the
 #: bench shape and Set5 scores identical to the 3rd decimal (RGB
 #: 30.425 / YUV 30.181 on the shipped d2 artifact) — default True.
-PLAIN_WINDOW = True
+#: MULUT_PLAIN_WINDOW=0 pins the tap-matrix path (ops escape hatch).
+import os as _os  # noqa: E402 — env-pinned kernel config, like evaluate's
+
+PLAIN_WINDOW = _os.environ.get("MULUT_PLAIN_WINDOW", "1") != "0"
 
 
 def _window_inputs(x, modes: str, tile: int):

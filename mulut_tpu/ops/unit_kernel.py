@@ -16,6 +16,7 @@ are stored bf16 in both).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +38,8 @@ ENSEMBLE_TILE_T = 4096
 #: tile for the WINDOW kernel (`_plain_w_kernel`).  Chip ladder at the
 #: bench shape with the rs schedule (r5): 1024: 19.5 ms, **2048: 18.8**,
 #: 4096: 19.5 — the rs-fused matmuls are 4T wide, so the optimum sits a
-#: step below the tap-matrix kernel's 4096.
-WINDOW_TILE_T = 2048
+#: step below the tap-matrix kernel's 4096.  MULUT_WINDOW_TILE pins it.
+WINDOW_TILE_T = int(os.environ.get("MULUT_WINDOW_TILE", "2048"))
 
 
 def _kernel(nf: int,
@@ -902,14 +903,43 @@ def _plain_w_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     for j, a in enumerate(offs):
         r_scr[j : j + 1, :] = win_ref[0, 0:1, a : a + T]
     R = r_scr[:].astype(jnp.bfloat16)                  # (n_off, T)
-    acc = jnp.zeros((out_pad, T), jnp.float32)
-    for mi in range(n_modes):
+
+    def heads(mi):
         xs = []
         for r in range(4):
             xk = jnp.dot(w1e[mi * 4 + r], R,
                          preferred_element_type=jnp.float32)
             xk = jnp.maximum(xk + b1[mi].astype(jnp.float32)[:, None], 0)
             xs.append(xk.astype(jnp.bfloat16))
+        return xs
+
+    def out_head(mi, r, xa, acc):
+        o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :], xa,
+                    preferred_element_type=jnp.float32)
+        o = jnp.tanh(
+            o + b6[mi, out_pad * r : out_pad * (r + 1)]
+            .astype(jnp.float32)[:, None])
+        return acc + jnp.round(o * 127.0)
+
+    acc = jnp.zeros((out_pad, T), jnp.float32)
+    if rs == "rsiv":
+        # all modes' rotation-fused chains advance layer-major:
+        # consecutive (nf, nf) x (nf, 4T) matmuls are independent
+        Xs = [jnp.concatenate(heads(mi), axis=1) for mi in range(n_modes)]
+        for d in range(depth):
+            for mi in range(n_modes):
+                xk = jnp.dot(hw[d, mi], Xs[mi],
+                             preferred_element_type=jnp.float32)
+                xk = jnp.maximum(
+                    xk + hb[d, mi].astype(jnp.float32)[:, None], 0)
+                Xs[mi] = xk.astype(jnp.bfloat16)
+        for mi in range(n_modes):
+            for r in range(4):
+                acc = out_head(mi, r, Xs[mi][:, r * T : (r + 1) * T], acc)
+        _apply_stage_mix_t(acc, mix, out_ref)
+        return
+    for mi in range(n_modes):
+        xs = heads(mi)
         if rs:
             xa = jnp.concatenate(xs, axis=1)           # (nf, 4T)
             for d in range(depth):
@@ -919,13 +949,7 @@ def _plain_w_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
                     xk + hb[d, mi].astype(jnp.float32)[:, None], 0)
                 xa = xk.astype(jnp.bfloat16)
             for r in range(4):
-                o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :],
-                            xa[:, r * T : (r + 1) * T],
-                            preferred_element_type=jnp.float32)
-                o = jnp.tanh(
-                    o + b6[mi, out_pad * r : out_pad * (r + 1)]
-                    .astype(jnp.float32)[:, None])
-                acc = acc + jnp.round(o * 127.0)
+                acc = out_head(mi, r, xa[:, r * T : (r + 1) * T], acc)
         else:
             for r in range(4):
                 xa = xs[r]
@@ -935,12 +959,7 @@ def _plain_w_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
                     xk = jnp.maximum(
                         xk + hb[d, mi].astype(jnp.float32)[:, None], 0)
                     xa = xk.astype(jnp.bfloat16)
-                o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :],
-                            xa, preferred_element_type=jnp.float32)
-                o = jnp.tanh(
-                    o + b6[mi, out_pad * r : out_pad * (r + 1)]
-                    .astype(jnp.float32)[:, None])
-                acc = acc + jnp.round(o * 127.0)
+                acc = out_head(mi, r, xa, acc)
     _apply_stage_mix_t(acc, mix, out_ref)
 
 
@@ -995,7 +1014,7 @@ def stage_ensemble_apply_w(stacked_t: dict, w1e, windows, *, n_modes: int,
     n_tiles, _, L = windows.shape
     nf = stacked_t["w1t"].shape[1]
     depth = stacked_t["hwt"].shape[0]
-    rs = PLAIN_T_SCHEDULE in ("rs", "rsiv")
+    rs = "rsiv" if PLAIN_T_SCHEDULE == "rsiv" else PLAIN_T_SCHEDULE == "rs"
     kern = functools.partial(_plain_w_kernel, nf, n_modes, out_pad, depth,
                              mix, offs, rs)
     weights = (w1e, stacked_t["b1"], stacked_t["hwt"], stacked_t["hb"],
@@ -1063,8 +1082,8 @@ PLAIN_SCHEDULE = "pass"
 #: (PERF.md r4 lesson).  Chip A/Bs (r5): on the tap-matrix kernel rs is
 #: within noise of pass (21.3-23.6 vs 22.8-23.9 ms across sessions);
 #: on the WINDOW kernel rs wins consistently (18.8-19.2 vs 20.0 ms) and
-#: is the default with PLAIN_WINDOW.
-PLAIN_T_SCHEDULE = "rs"
+#: is the default with PLAIN_WINDOW.  MULUT_T_SCHEDULE pins it.
+PLAIN_T_SCHEDULE = os.environ.get("MULUT_T_SCHEDULE", "rs")
 
 _PLAIN_T_KERNELS = {
     "pass": _plain_t_kernel,
