@@ -31,7 +31,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nf", type=int, default=64)
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--layouts", nargs="+", default=["site", "feature"])
+    p.add_argument("--layouts", nargs="+",
+                   default=["site", "feature", "featwin"])
     p.add_argument("--tiles", type=int, nargs="+",
                    default=[1024, 2048, 4096])
     args = p.parse_args()
@@ -62,14 +63,20 @@ def main():
         return ev
 
     baseline = {}
-    tile0 = uk.ENSEMBLE_TILE
+    tile0, wtile0 = uk.ENSEMBLE_TILE, uk.WINDOW_TILE_T
 
     def run_one(cfg):
         layout, tile = cfg
-        sn.DENSE_LAYOUT = layout
+        # "site" = r3 site-major kernel; "feature" = _dense_t_kernel
+        # (tap-matrix); "featwin" = _dense_w_kernel (window extraction).
+        # All three bit-identical (CPU-verified).
+        sn.DENSE_LAYOUT = "feature" if layout == "featwin" else layout
+        sn.PLAIN_WINDOW = layout == "featwin"
         uk.ENSEMBLE_TILE = tile
+        uk.WINDOW_TILE_T = tile
         uk.stage_ensemble_apply.clear_cache()
         uk.stage_ensemble_apply_t.clear_cache()
+        uk.stage_ensemble_apply_w.clear_cache()
         try:
             ev = build()
             x = jnp.asarray(rgb)
@@ -86,9 +93,12 @@ def main():
                     "parity": "MATCH" if parity else "MISMATCH"}
         finally:
             sn.DENSE_LAYOUT = "site"
+            sn.PLAIN_WINDOW = True
             uk.ENSEMBLE_TILE = tile0
+            uk.WINDOW_TILE_T = wtile0
             uk.stage_ensemble_apply.clear_cache()
             uk.stage_ensemble_apply_t.clear_cache()
+            uk.stage_ensemble_apply_w.clear_cache()
 
     cfgs = [(lo, t) for lo in args.layouts for t in args.tiles]
     base = ("site", tile0)

@@ -358,18 +358,26 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
         dense_t = (DENSE_LAYOUT == "feature" and not plain
                    and "hwq" not in st and "w2" in st
                    and st["w2"].shape[-1] == nf_s)
-        if plain and PLAIN_LAYOUT == "feature" and PLAIN_WINDOW:
+        if ((plain and PLAIN_LAYOUT == "feature") or dense_t) and \
+                PLAIN_WINDOW:
             from ..ops.unit_kernel import (
                 WINDOW_TILE_T,
                 scatter_window_heads,
                 stage_ensemble_apply_w,
                 transpose_plain_stack,
                 window_offsets,
+                window_tap_rows,
             )
 
             st_t = transpose_plain_stack(st)
-            w1e = scatter_window_heads(st, modes)
-            tile = WINDOW_TILE_T
+            tap_rows = None if plain else window_tap_rows(modes)
+            w1e = scatter_window_heads(st, modes) if plain else None
+            # wide images: keep tile >= 2S so the windows array stays
+            # <= 2x the plane bytes (the view build makes ceil(L/tile)
+            # full copies)
+            P0 = max(mode_pad(m) for m in modes)
+            S0 = P0 * (x.shape[3] + 2 * P0) + P0
+            tile = max(WINDOW_TILE_T, -(-2 * S0 // 128) * 128)
             win, (n_sites, Hp, Wp, P) = _window_inputs(x, modes, tile)
             S = P * Wp + P
             _, offs = window_offsets(modes)
@@ -379,7 +387,7 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
                     packed = stage_ensemble_apply_w(
                         st_t, w1e, win, n_modes=M, offs=offs_lane,
                         tile=tile, interpret=interpret,
-                        mix=("final_pack", M),
+                        mix=("final_pack", M), tap_rows=tap_rows,
                     )[:, :n_sites]                   # (4, N') u32
                     b = jax.lax.bitcast_convert_type(packed, jnp.uint8)
                     b = b.reshape(upscale, B, C, Hp, Wp, upscale)
@@ -390,6 +398,7 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
                     st_t, w1e, win, n_modes=M, offs=offs_lane, tile=tile,
                     interpret=interpret,
                     mix=("final_u8" if final_clip else "final", M),
+                    tap_rows=tap_rows,
                 )[: upscale * upscale, :n_sites]
                 o = o.reshape(upscale, upscale, B, C, Hp, Wp)
                 o = o[:, :, :, :, P : P + H, P : P + W]
@@ -398,6 +407,7 @@ def srnets_predict_fast(stacked_stages: list, x, *, modes: str, stages: int,
             xb = stage_ensemble_apply_w(
                 st_t, w1e, win, n_modes=M, offs=offs_lane, tile=tile,
                 interpret=interpret, mix=("inner", M),
+                tap_rows=tap_rows,
             )[0, :n_sites]
             # pad-band sites hold garbage; crop to the valid image (the
             # next stage re-pads fresh)

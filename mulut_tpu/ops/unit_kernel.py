@@ -963,6 +963,69 @@ def _plain_w_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     _apply_stage_mix_t(acc, mix, out_ref)
 
 
+def _dense_w_kernel(nf: int, n_modes: int, out_pad: int, hidden,
+                    mix, offs, tap_rows, rs,
+                    win_ref, w1t, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+                    w6, b6, out_ref, r_scr, cat):
+    """Window kernel for DENSE-concat units (in-kernel tap extraction).
+
+    Same flat-window extraction as `_plain_w_kernel`, but the head stays
+    the VPU broadcast-FMA form — term k = w1t[:, k] * R[tap_rows[mi,r,k]]
+    in the same bf16 sequential-sum order as the site-major dense kernel,
+    so outputs are BIT-IDENTICAL (the R rows hold the exact bf16 tap
+    values; `tap_rows` maps each mode x rotation x tap to its
+    deduplicated window row).  Hidden layers run over the feature-major
+    (5nf, T) concat scratch; rs fuses the 4 rotations (shared weights)
+    into (5nf, 4T).
+    """
+    T = r_scr.shape[1]
+    for j, a in enumerate(offs):
+        r_scr[j : j + 1, :] = win_ref[0, 0:1, a : a + T]
+    R = r_scr[:].astype(jnp.bfloat16)                  # (n_off, T)
+    hw = {2: w2, 3: w3, 4: w4, 5: w5}
+    hb = {2: b2, 3: b3, 4: b4, 5: b5}
+    width = 4 * T if rs else T
+
+    def head(mi, r):
+        x = None
+        for k in range(4):
+            term = w1t[mi, :, k : k + 1] * R[tap_rows[mi][r][k], :][None, :]
+            x = term if x is None else x + term
+        return jnp.maximum(
+            x + b1[mi].astype(jnp.float32)[:, None].astype(jnp.bfloat16),
+            0).astype(jnp.bfloat16)
+
+    def chain(mi, x0):
+        cat[0:nf, 0:width] = x0
+        for li, k in enumerate(hidden, start=1):
+            xk = jnp.dot(hw[k][mi], cat[0 : nf * li, 0:width],
+                         preferred_element_type=jnp.float32)
+            xk = jnp.maximum(xk + hb[k][mi].astype(jnp.float32)[:, None], 0)
+            cat[nf * li : nf * (li + 1), 0:width] = xk.astype(jnp.bfloat16)
+
+    def out_head(mi, r, col0, acc):
+        o = jnp.dot(w6[mi, out_pad * r : out_pad * (r + 1), :],
+                    cat[:, col0 : col0 + T],
+                    preferred_element_type=jnp.float32)
+        o = jnp.tanh(
+            o + b6[mi, out_pad * r : out_pad * (r + 1)]
+            .astype(jnp.float32)[:, None])
+        return acc + jnp.round(o * 127.0)
+
+    acc = jnp.zeros((out_pad, T), jnp.float32)
+    for mi in range(n_modes):
+        if rs:
+            x0 = jnp.concatenate([head(mi, r) for r in range(4)], axis=1)
+            chain(mi, x0)
+            for r in range(4):
+                acc = out_head(mi, r, r * T, acc)
+        else:
+            for r in range(4):
+                chain(mi, head(mi, r))
+                acc = out_head(mi, r, 0, acc)
+    _apply_stage_mix_t(acc, mix, out_ref)
+
+
 def window_offsets(modes: str):
     """Deduplicated (dy, dx) tap shifts across all modes x rotations,
     sorted; P is the uniform halo (edge-replication is idempotent, so a
@@ -974,6 +1037,19 @@ def window_offsets(modes: str):
     offs = sorted({o for m in modes for r in range(4)
                    for o in rotated_taps(m, r)})
     return P, offs
+
+
+def window_tap_rows(modes: str):
+    """Static (mode, rotation, tap) -> deduplicated-window-row map for
+    the dense window kernel's VPU head."""
+    from .taps import rotated_taps
+
+    _, offs = window_offsets(modes)
+    idx = {o: j for j, o in enumerate(offs)}
+    return tuple(
+        tuple(tuple(idx[o] for o in rotated_taps(m, r)) for r in range(4))
+        for m in modes
+    )
 
 
 def scatter_window_heads(stacked: dict, modes: str):
@@ -998,11 +1074,14 @@ def scatter_window_heads(stacked: dict, modes: str):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_modes", "out_pad", "interpret",
-                                    "mix", "offs", "tile"))
+                                    "mix", "offs", "tile", "tap_rows"))
 def stage_ensemble_apply_w(stacked_t: dict, w1e, windows, *, n_modes: int,
                            offs: tuple, tile: int, out_pad: int = 16,
-                           interpret: bool = False, mix=None):
-    """Window-kernel twin of `stage_ensemble_apply_t` (plain stacks).
+                           interpret: bool = False, mix=None,
+                           tap_rows: tuple | None = None):
+    """Window-kernel twin of `stage_ensemble_apply_t` (plain AND dense
+    stacks — dense needs the static `tap_rows` map for its VPU head and
+    stays bit-identical to the site-major dense kernel).
 
     windows: (n_tiles, 1, tile + 2*S) f32 flat windows over the PADDED
     site domain (see `srnet._window_inputs`; the middle singleton makes
@@ -1013,12 +1092,29 @@ def stage_ensemble_apply_w(stacked_t: dict, w1e, windows, *, n_modes: int,
     """
     n_tiles, _, L = windows.shape
     nf = stacked_t["w1t"].shape[1]
-    depth = stacked_t["hwt"].shape[0]
-    rs = "rsiv" if PLAIN_T_SCHEDULE == "rsiv" else PLAIN_T_SCHEDULE == "rs"
-    kern = functools.partial(_plain_w_kernel, nf, n_modes, out_pad, depth,
-                             mix, offs, rs)
-    weights = (w1e, stacked_t["b1"], stacked_t["hwt"], stacked_t["hb"],
-               stacked_t["w6t"], stacked_t["b6"])
+    dense = "hwt" not in stacked_t
+    scratch2 = []
+    if dense:
+        assert tap_rows is not None, "dense window kernel needs tap_rows"
+        hidden = [k for k in (2, 3, 4, 5) if f"w{k}t" in stacked_t]
+        rs = PLAIN_T_SCHEDULE in ("rs", "rsiv")
+        kern = functools.partial(_dense_w_kernel, nf, n_modes, out_pad,
+                                 hidden, mix, offs, tap_rows, rs)
+        weights = [stacked_t["w1t"], stacked_t["b1"]]
+        for k in (2, 3, 4, 5):
+            weights += [stacked_t[f"w{k}t"], stacked_t[f"b{k}"]]
+        weights += [stacked_t["w6t"], stacked_t["b6"]]
+        weights = tuple(weights)
+        scratch2 = [pltpu.VMEM(
+            (5 * nf, (4 if rs else 1) * tile), jnp.bfloat16)]
+    else:
+        depth = stacked_t["hwt"].shape[0]
+        rs = ("rsiv" if PLAIN_T_SCHEDULE == "rsiv"
+              else PLAIN_T_SCHEDULE == "rs")
+        kern = functools.partial(_plain_w_kernel, nf, n_modes, out_pad,
+                                 depth, mix, offs, rs)
+        weights = (w1e, stacked_t["b1"], stacked_t["hwt"], stacked_t["hb"],
+                   stacked_t["w6t"], stacked_t["b6"])
     pack = mix is not None and mix[0] == "final_pack"
     if pack:
         assert out_pad == 16, "final_pack packs a 4x4 quad (upscale 4)"
@@ -1039,7 +1135,8 @@ def stage_ensemble_apply_w(stacked_t: dict, w1e, windows, *, n_modes: int,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
         out_specs=pl.BlockSpec((out_rows, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((len(offs), tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((len(offs), tile), jnp.float32)]
+        + scratch2,
         interpret=interpret,
     )(windows, *weights)
 

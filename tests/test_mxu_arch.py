@@ -510,3 +510,29 @@ def test_window_kernel_matches_tap_matrix_path():
         uk.PLAIN_T_SCHEDULE = "pass"
         uk.stage_ensemble_apply_w.clear_cache()
     assert np.array_equal(got, want)
+
+
+def test_dense_window_kernel_bit_matches_site_major():
+    """The dense WINDOW kernel (in-kernel tap extraction, VPU head from
+    deduplicated R rows) == the site-major dense kernel, bitwise, under
+    both rs and pass schedules."""
+    import mulut_tpu.models.srnet as sn
+    import mulut_tpu.ops.unit_kernel as uk
+
+    rng = np.random.default_rng(32)
+    params = init_srnets(jax.random.PRNGKey(32), nf=8, scale=4,
+                         modes="sdy", stages=2, arch="dense")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=4)
+    x = jnp.asarray(rng.random((2, 1, 7, 9)).astype(np.float32))
+    sn.DENSE_LAYOUT = "site"
+    want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy",
+                                          stages=2, scale=4,
+                                          interpret=True))
+    sn.DENSE_LAYOUT = "feature"
+    sn.PLAIN_WINDOW = True
+    for sched in ("rs", "pass"):
+        uk.PLAIN_T_SCHEDULE = sched
+        uk.stage_ensemble_apply_w.clear_cache()
+        got = np.asarray(srnets_predict_fast(
+            stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
+        assert np.array_equal(got, want), sched
