@@ -536,3 +536,24 @@ def test_dense_window_kernel_bit_matches_site_major():
         got = np.asarray(srnets_predict_fast(
             stacked, x, modes="sdy", stages=2, scale=4, interpret=True))
         assert np.array_equal(got, want), sched
+
+
+def test_window_kernel_scale2_matches_tap_matrix():
+    """Window path at scale 2 (non-pack epilogues, upscale**2 = 4 of 16
+    lanes) == tap-matrix path."""
+    import mulut_tpu.models.srnet as sn
+
+    rng = np.random.default_rng(33)
+    params = init_srnets(jax.random.PRNGKey(33), nf=16, scale=2,
+                         modes="sdy", stages=2, arch="mxu")
+    stacked = stack_srnets_for_fast(params, modes="sdy", stages=2, scale=2)
+    x = jnp.asarray(rng.random((1, 1, 7, 9)).astype(np.float32))
+    sn.PLAIN_WINDOW = False
+    want = np.asarray(srnets_predict_fast(stacked, x, modes="sdy",
+                                          stages=2, scale=2,
+                                          interpret=True))
+    sn.PLAIN_WINDOW = True
+    got = np.asarray(srnets_predict_fast(stacked, x, modes="sdy",
+                                         stages=2, scale=2,
+                                         interpret=True))
+    assert np.array_equal(got, want)
