@@ -894,10 +894,16 @@ def _plain_w_kernel(nf: int, n_modes: int, out_pad: int, depth: int,
     columns filled — a K=25 matmul costs the same MXU passes as K=4.
     HBM traffic per stage drops from ~100 MB (tap matrix) to ~6 MB
     (windows).  rs=True fuses each mode's 4 rotation chains into one
-    (nf, 4T) hidden chain (head-then-concat, see `_plain_t_rs_kernel`).
-    Outputs are bit-identical to the tap-matrix kernels: same bf16 tap
-    values (f32 window round-trips bf16 exactly), same matmul shapes in
-    the hidden/out layers, same accumulation order.
+    (nf, 4T) hidden chain (head-then-concat, see `_plain_t_rs_kernel`);
+    rs="rsiv" additionally advances the mode chains layer-major.
+    Numerics: tap values are exact (the f32 window round-trips bf16),
+    hidden/out layers are shape-identical, and the only difference vs
+    the tap-matrix kernels is the HEAD's f32 sum association (zeros
+    interspersed in the K=25 accumulation) — sub-bf16-ulp, erased by
+    the bf16 activation cast in practice: measured EQUAL under a FULL
+    50 MB byte readback at the bench shape and identical Set5 scores
+    (PERF.md r5).  The dense window kernel (`_dense_w_kernel`) keeps
+    even the head bit-identical via its VPU form.
     """
     T = r_scr.shape[1]
     for j, a in enumerate(offs):
