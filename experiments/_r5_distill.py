@@ -45,8 +45,15 @@ def main():
     p.add_argument("--iters", type=int, default=6000)
     p.add_argument("--e2e-iters", type=int, default=3000)
     p.add_argument("--skip-speed", action="store_true")
+    p.add_argument("--batch", type=int, default=65536)
+    p.add_argument("--cpu", action="store_true",
+                   help="smoke mode: tiny shapes, no artifact writes")
     args = p.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     lab.setup()
     import jax
     import jax.numpy as jnp
@@ -70,12 +77,18 @@ def main():
     results = {}
 
     def score(tag, students):
+        if args.cpu:
+            print(f"[cpu-smoke] skip Set5 score {tag}", flush=True)
+            return
         ev = NetEvaluator(students, stages=2, modes="sdy", scale=4,
                           fast=True)
         print(f"== {tag} ==", flush=True)
         results[tag] = run_benchmark(ev, BENCH, ["Set5"])
 
     def save(name, students):
+        if args.cpu:
+            print(f"[cpu-smoke] skip save {name}", flush=True)
+            return
         save_params_npz(
             os.path.join(ART, name),
             {k: {n: np.asarray(a) for n, a in u.items()}
@@ -116,8 +129,8 @@ def main():
                 print(f"distilling s2_{m} (nf256 d3) ...", flush=True)
                 students[f"s2_{m}"], met = distill_unit(
                     sub, dense[f"s2_{m}"], nf=256, depth=3, upscale=4,
-                    iters=args.iters, batch=65536,
-                    log_every=args.iters // 3)
+                    iters=args.iters, batch=args.batch,
+                    log_every=max(1, args.iters // 3))
                 print(f"  s2_{m}: lattice mse {met['lattice_mse']:.3e} "
                       f"max {met['lattice_max_levels']:.1f} levels",
                       flush=True)
